@@ -1,0 +1,158 @@
+"""SumGAN: adversarial LSTM video summarizer.
+
+Components (ref: summarizer/models/sumgan.py:23-258):
+  - sLSTM selector: 2-layer BiLSTM(1024) -> linear -> sigmoid scores
+  - VAE: eLSTM encoder (2-layer uni LSTM(2048), mu/logvar heads on the final
+    hidden states) + dLSTM step-wise decoder whose input is its previous
+    output, reconstructing the *reversed* sequence
+  - cLSTM discriminator: 2-layer uni LSTM(1024); prob from the last output,
+    which also serves as the feature embedding for the reconstruction loss
+The inference ABI (``apply``) is the selector alone (sumgan.py:251-258).
+
+Decoding is a ``lax.scan`` carrying (x, h, c); the reversed-reconstruction
+contract is honored under padding via a length-aware reverse.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from summarizer_tpu.nn.core import linear, linear_init
+from summarizer_tpu.nn.rnn import lstm_apply, lstm_cell_step, lstm_init, masked_reverse
+
+DEFAULTS = dict(
+    input_size=1024,
+    sLSTM_hidden_size=1024,
+    sLSTM_num_layers=2,
+    edLSTM_hidden_size=2048,
+    edLSTM_num_layers=2,
+    cLSTM_hidden_size=1024,
+    cLSTM_num_layers=2,
+)
+
+
+# ------------------------------------------------------------------ modules
+def slstm_init(rng, d, hidden, layers):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "lstm": lstm_init(k1, d, hidden, num_layers=layers, bidirectional=True),
+        "out": linear_init(k2, 2 * hidden, 1),
+    }
+
+
+def slstm_apply(p, x, lengths):
+    h, _ = lstm_apply(p["lstm"], x, lengths)
+    return jax.nn.sigmoid(linear(p["out"], h))[..., 0]
+
+
+def elstm_init(rng, d, hidden, layers):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "lstm": lstm_init(k1, d, hidden, num_layers=layers),
+        "mu": linear_init(k2, hidden, hidden),
+        "logvar": linear_init(k3, hidden, hidden),
+    }
+
+
+def elstm_apply(p, x, lengths):
+    """Returns ((mu, logvar) of the final hidden states (L,B,H), c_last)."""
+    _, (h_last, c_last) = lstm_apply(p["lstm"], x, lengths)
+    return (linear(p["mu"], h_last), linear(p["logvar"], h_last)), c_last
+
+
+def dlstm_init(rng, d, hidden, layers):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "lstm": lstm_init(k1, hidden, hidden, num_layers=layers),
+        "recons": linear_init(k2, hidden, d),
+    }
+
+
+def dlstm_apply(p, t_max: int, h0, c0, lengths):
+    """Decode t_max steps from (h0, c0); x_hat reconstructs the reversed
+    input (sumgan.py:98-115), re-oriented per true length."""
+    b = h0.shape[1]
+    hidden = h0.shape[2]
+
+    def step(carry, _):
+        x, h, c = carry
+        x2, (h2, c2) = lstm_cell_step(p["lstm"], x, h, c)
+        return (x2, h2, c2), linear(p["recons"], x2)
+
+    x0 = jnp.zeros((b, hidden), jnp.float32)
+    _, outs = jax.lax.scan(step, (x0, h0, c0), None, length=t_max)
+    outs = jnp.swapaxes(outs, 0, 1)  # (B, T, D)
+    return masked_reverse(outs, lengths)
+
+
+def clstm_init(rng, d, hidden, layers):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "lstm": lstm_init(k1, d, hidden, num_layers=layers),
+        "out": linear_init(k2, hidden, 1),
+    }
+
+
+def clstm_apply(p, x, lengths):
+    """(probs (B,), h_last (B,H)) — prob from the last valid output
+    (sumgan.py:185-210)."""
+    outs, _ = lstm_apply(p["lstm"], x, lengths)
+    last = jnp.clip(lengths - 1, 0, x.shape[1] - 1)
+    h_last = jnp.take_along_axis(outs, last[:, None, None], axis=1)[:, 0]
+    probs = jax.nn.sigmoid(linear(p["out"], h_last))[..., 0]
+    return probs, h_last
+
+
+# -------------------------------------------------------------------- SumGAN
+def init(rng, hp: dict):
+    hp = {**DEFAULTS, **hp}
+    d = int(hp["input_size"])
+    k = jax.random.split(rng, 4)
+    return {
+        "s_lstm": slstm_init(k[0], d, int(hp["sLSTM_hidden_size"]), int(hp["sLSTM_num_layers"])),
+        "e_lstm": elstm_init(k[1], d, int(hp["edLSTM_hidden_size"]), int(hp["edLSTM_num_layers"])),
+        "d_lstm": dlstm_init(k[2], d, int(hp["edLSTM_hidden_size"]), int(hp["edLSTM_num_layers"])),
+        "c_lstm": clstm_init(k[3], d, int(hp["cLSTM_hidden_size"]), int(hp["cLSTM_num_layers"])),
+    }
+
+
+def reparameterize(rng, mu, logvar):
+    return mu + jax.random.normal(rng, mu.shape) * jnp.exp(0.5 * logvar)
+
+
+def vae_forward(params, x, lengths, rng):
+    """x -> (x_hat, (mu, logvar)) (ref: sumgan.py:117-148)."""
+    (mu, logvar), c = elstm_apply(params["e_lstm"], x, lengths)
+    h = reparameterize(rng, mu, logvar)
+    x_hat = dlstm_apply(params["d_lstm"], x.shape[1], h, c, lengths)
+    return x_hat, (mu, logvar)
+
+
+def summarizer_forward(params, x, mask, rng, uniform: bool = False):
+    """x -> (x_hat, (mu, logvar), scores); ``uniform`` swaps the selector for
+    U(0,1) scores, the paper's s_p branch (sumgan.py:150-183)."""
+    lengths = mask.sum(-1).astype(jnp.int32)
+    k1, k2 = jax.random.split(rng)
+    if uniform:
+        scores = jax.random.uniform(k1, x.shape[:2])
+    else:
+        scores = slstm_apply(params["s_lstm"], x, lengths)
+    x_weighted = x * (scores * mask)[..., None]
+    x_hat, dist = vae_forward(params, x_weighted, lengths, k2)
+    return x_hat, dist, scores
+
+
+def discriminate(params, x, mask):
+    lengths = mask.sum(-1).astype(jnp.int32)
+    return clstm_apply(params["c_lstm"], x, lengths)
+
+
+def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
+    del rng, train, hp
+    lengths = (
+        mask.sum(-1).astype(jnp.int32)
+        if mask is not None
+        else jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+    )
+    return slstm_apply(params["s_lstm"], x, lengths)

@@ -1,0 +1,101 @@
+"""VASNet-style single-head soft self-attention scorer.
+
+Semantics of summarizer/models/vasnet.py:17-148: bias-free K/Q/V/out
+projections, configurable logit scale (default 1/sqrt(d), VASNet's paper
+value 0.06 via ``scale``), optional self-exclusion, optional *local attention
+aperture* (banded mask over [t-w, t+w] — the reference's long-sequence
+mechanism, kept as a first-class option), optional positional embeddings,
+dropout(0.5), residual + LayerNorm, 2-layer FFN head with 0.1-constant
+biases and a sigmoid.  The reference reuses one LayerNorm instance at both
+normalization points; that parameter sharing is reproduced.
+
+Banded + padded attention masking is new (the reference ran unpadded batch-1).
+The reference's quirk of masking *zero-valued* in-band logits along with the
+out-of-band ones (vasnet.py:124-127 multiplies tril by triu and tests == 0)
+is fixed here: the band is positional, |i-j| <= aperture.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from summarizer_tpu.models.base import add_pos_embed, pos_embed_init, split_or_none
+from summarizer_tpu.nn.core import dropout, layer_norm, layer_norm_init, linear, linear_init
+
+_NEG_INF = jnp.float32(-1e30)
+
+DEFAULTS = dict(
+    input_size=1024,
+    max_pos=None,
+    pos_embed="simple",
+    ignore_self=False,
+    local=None,  # attention aperture w
+    scale=None,
+    epsilon=1e-6,
+    weight_init="xavier",
+    dropout=0.5,
+)
+
+
+def init(rng, hp: dict):
+    hp = {**DEFAULTS, **hp}
+    d = int(hp["input_size"])
+    k = split_or_none(rng, 8)
+    wi = str(hp["weight_init"]).lower()
+    if wi in ("he", "kaiming"):
+        proj = dict(w_init="kaiming")
+    else:
+        proj = dict(w_init="xavier", gain=math.sqrt(2.0))
+    params = {
+        "K": linear_init(k[0], d, d, bias=False, **proj),
+        "Q": linear_init(k[1], d, d, bias=False, **proj),
+        "V": linear_init(k[2], d, d, bias=False, **proj),
+        "out": linear_init(k[3], d, d, bias=False, **proj),
+        "k1": linear_init(k[4], d, d, **proj),
+        "k2": linear_init(k[5], d, 1, **proj),
+        "norm": layer_norm_init(d),  # shared at both norm sites (vasnet.py:53)
+    }
+    params["k1"]["b"] = jnp.full((d,), 0.1, jnp.float32)
+    params["k2"]["b"] = jnp.full((1,), 0.1, jnp.float32)
+    pe = pos_embed_init(k[6], hp, d)
+    if pe is not None:
+        params["pos"] = pe
+    return params
+
+
+def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
+    hp = {**DEFAULTS, **(hp or {})}
+    d = x.shape[-1]
+    scale = hp["scale"] if hp["scale"] is not None else 1.0 / math.sqrt(d)
+    rate = float(hp["dropout"])
+    eps = float(hp["epsilon"])
+    k = split_or_none(rng, 3)
+
+    x = add_pos_embed(params.get("pos"), x)
+
+    q = linear(params["Q"], x)
+    kk = linear(params["K"], x)
+    v = linear(params["V"], x)
+    logits = jnp.einsum("bqd,bkd->bqk", q, kk) * scale
+
+    t = x.shape[1]
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :] > 0, logits, _NEG_INF)
+    if hp["ignore_self"]:
+        logits = jnp.where(jnp.eye(t, dtype=bool)[None], _NEG_INF, logits)
+    if hp["local"] is not None:
+        w = int(hp["local"])
+        ij = jnp.arange(t)
+        band = jnp.abs(ij[:, None] - ij[None, :]) <= w
+        logits = jnp.where(band[None], logits, _NEG_INF)
+
+    alpha = jax.nn.softmax(logits, axis=-1)
+    alpha = dropout(k[0], alpha, rate, train)
+    c = linear(params["out"], jnp.einsum("bqk,bkd->bqd", alpha, v))
+
+    y = layer_norm(params["norm"], dropout(k[1], c + x, rate, train), eps)
+    y = layer_norm(params["norm"], dropout(k[2], jax.nn.relu(linear(params["k1"], y)), rate, train), eps)
+    return jax.nn.sigmoid(linear(params["k2"], y))[..., 0]

@@ -1,0 +1,177 @@
+"""LSTM/GRU via ``lax.scan`` with torch cell semantics and length masking.
+
+TPU-first structure: the input projection for *all* timesteps is hoisted out
+of the scan as one large MXU matmul; only the O(H^2) recurrent term stays
+sequential.  Bidirectionality uses a length-aware reverse (padded tails stay
+in place) so final states and backward passes see the true sequence, which a
+naive flip of a padded array would not.
+
+Replaces nn.LSTM/nn.GRU usage in the reference zoo (summarizer/models/
+dsn.py:23-33, sumgan.py:23-115, :185-210).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from summarizer_tpu.nn.core import _uniform
+
+
+def masked_reverse(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each sequence within its true length. x: (B, T, ...), lengths: (B,)."""
+    t = x.shape[1]
+    ts = jnp.arange(t)
+
+    def one(xb, lb):
+        idx = jnp.where(ts < lb, lb - 1 - ts, ts)
+        return xb[idx]
+
+    return jax.vmap(one)(x, lengths)
+
+
+def _cell_params(rng, in_dim, hidden, n_gates):
+    k = jax.random.split(rng, 4)
+    bound = 1.0 / math.sqrt(hidden)
+    return {
+        "w_ih": _uniform(k[0], (in_dim, n_gates * hidden), bound),
+        "w_hh": _uniform(k[1], (hidden, n_gates * hidden), bound),
+        "b_ih": _uniform(k[2], (n_gates * hidden,), bound),
+        "b_hh": _uniform(k[3], (n_gates * hidden,), bound),
+    }
+
+
+def _stack_init(rng, input_size, hidden, num_layers, bidirectional, n_gates):
+    layers = []
+    dirs = 2 if bidirectional else 1
+    for layer_idx in range(num_layers):
+        in_dim = input_size if layer_idx == 0 else hidden * dirs
+        rng, kf, kb = jax.random.split(rng, 3)
+        entry = {"fwd": _cell_params(kf, in_dim, hidden, n_gates)}
+        if bidirectional:
+            entry["bwd"] = _cell_params(kb, in_dim, hidden, n_gates)
+        layers.append(entry)
+    return {"layers": layers}
+
+
+def lstm_init(rng, input_size, hidden_size, num_layers=1, bidirectional=False):
+    return _stack_init(rng, input_size, hidden_size, num_layers, bidirectional, 4)
+
+
+def gru_init(rng, input_size, hidden_size, num_layers=1, bidirectional=False):
+    return _stack_init(rng, input_size, hidden_size, num_layers, bidirectional, 3)
+
+
+def _lstm_layer(p, x, lengths):
+    """One direction, one layer. x: (B, T, D) -> outputs (B, T, H) plus the
+    (h, c) at each sequence's last valid step."""
+    b, t, _ = x.shape
+    h4 = p["w_hh"].shape[1]
+    hidden = h4 // 4
+    xg = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"] + p["b_hh"]
+
+    def step(carry, xt):  # xt: (B, 4H)
+        h, c = carry
+        z = xt + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(z, 4, axis=-1)  # torch gate order i,f,g,o
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c2 = f * c + i * jnp.tanh(g)
+        h2 = o * jnp.tanh(c2)
+        return (h2, c2), (h2, c2)
+
+    zeros = jnp.zeros((b, hidden), jnp.float32)
+    _, (hs, cs) = jax.lax.scan(step, (zeros, zeros), jnp.swapaxes(xg, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    cs = jnp.swapaxes(cs, 0, 1)
+    last = jnp.clip(lengths - 1, 0, t - 1)
+    h_last = jnp.take_along_axis(hs, last[:, None, None], axis=1)[:, 0]
+    c_last = jnp.take_along_axis(cs, last[:, None, None], axis=1)[:, 0]
+    return hs, (h_last, c_last)
+
+
+def _gru_layer(p, x, lengths):
+    b, t, _ = x.shape
+    hidden = p["w_hh"].shape[0]
+    xg = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
+
+    def step(h, xt):
+        hg = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+        xr, xz, xn = jnp.split(xt, 3, axis=-1)  # torch gate order r,z,n
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h2 = (1.0 - z) * n + z * h
+        return h2, h2
+
+    zeros = jnp.zeros((b, hidden), jnp.float32)
+    _, hs = jax.lax.scan(step, zeros, jnp.swapaxes(xg, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)
+    last = jnp.clip(lengths - 1, 0, t - 1)
+    h_last = jnp.take_along_axis(hs, last[:, None, None], axis=1)[:, 0]
+    return hs, (h_last, None)
+
+
+def _stack_apply(params, x, lengths, layer_fn, carry_state):
+    """Run the stacked (bi)directional recurrence.
+
+    Returns (outputs (B,T,H*dirs), (h_last, c_last)) where the final states
+    are stacked (num_layers*dirs, B, H) in torch order [l0_f, l0_b, l1_f, ...].
+    """
+    if lengths is None:
+        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+    h_lasts, c_lasts = [], []
+    out = x
+    for entry in params["layers"]:
+        fwd, (hf, cf) = layer_fn(entry["fwd"], out, lengths)
+        h_lasts.append(hf)
+        c_lasts.append(cf)
+        if "bwd" in entry:
+            rev = masked_reverse(out, lengths)
+            bwd_r, (hb, cb) = layer_fn(entry["bwd"], rev, lengths)
+            bwd = masked_reverse(bwd_r, lengths)
+            h_lasts.append(hb)
+            c_lasts.append(cb)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            out = fwd
+    h_last = jnp.stack(h_lasts)
+    c_last = jnp.stack(c_lasts) if carry_state and c_lasts[0] is not None else None
+    return out, (h_last, c_last)
+
+
+def lstm_apply(params, x, lengths=None):
+    return _stack_apply(params, x, lengths, _lstm_layer, carry_state=True)
+
+
+def lstm_cell_step(params, x, h, c):
+    """One timestep through a stacked unidirectional LSTM.
+
+    x: (B, D); h, c: (L, B, H).  Returns (top-layer output, (h', c')).
+    Used by step-wise decoders (SumGAN dLSTM, summarizer/models/
+    sumgan.py:88-115) where each step's input is the previous output.
+    """
+    hs, cs = [], []
+    inp = x
+    for li, entry in enumerate(params["layers"]):
+        p = entry["fwd"]
+        z = (
+            jnp.dot(inp, p["w_ih"], preferred_element_type=jnp.float32)
+            + p["b_ih"]
+            + jnp.dot(h[li], p["w_hh"], preferred_element_type=jnp.float32)
+            + p["b_hh"]
+        )
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c2 = f * c[li] + i * jnp.tanh(g)
+        h2 = o * jnp.tanh(c2)
+        hs.append(h2)
+        cs.append(c2)
+        inp = h2
+    return inp, (jnp.stack(hs), jnp.stack(cs))
+
+
+def gru_apply(params, x, lengths=None):
+    return _stack_apply(params, x, lengths, _gru_layer, carry_state=False)
