@@ -13,6 +13,6 @@ def init(rng, hp: dict):
     return {"head": linear_init(rng, int(hp.get("input_size", 1024)), 1)}
 
 
-def apply(params, x, mask, *, rng=None, train=False):
-    del mask, rng, train
+def apply(params, x, mask, *, rng=None, train=False, hp=None):
+    del mask, rng, train, hp
     return jax.nn.sigmoid(linear(params["head"], x))[..., 0]

@@ -10,8 +10,8 @@ def init(rng, hp: dict):
     return {}
 
 
-def apply(params, x, mask, *, rng=None, train=False):
-    del params, train
+def apply(params, x, mask, *, rng=None, train=False, hp=None):
+    del params, train, hp
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return jax.random.uniform(rng, x.shape[:2])

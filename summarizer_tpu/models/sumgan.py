@@ -148,7 +148,7 @@ def discriminate(params, x, mask):
     return clstm_apply(params["c_lstm"], x, lengths)
 
 
-def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
+def apply(params, x, mask, *, rng=None, train=False, hp=None):
     del rng, train, hp
     lengths = (
         mask.sum(-1).astype(jnp.int32)

@@ -97,9 +97,13 @@ def select_segments(
         values = (np.asarray(seg_scores, dtype=np.float64) * 1000).astype(np.int64)
         return knapsack_solve(values.tolist(), nfps, int(limit))
     if method == "rank":
+        # The reference sorts with np.argsort's default (unstable) quicksort
+        # (eval.py:103), so its tie order among equal segment scores is
+        # arbitrary; we fix tie order deterministically with a stable sort
+        # (ties visited highest-index first), matching the device kernel.
         picks: list[int] = []
         total = 0
-        for i in np.argsort(np.asarray(seg_scores))[::-1]:
+        for i in np.argsort(np.asarray(seg_scores), kind="stable")[::-1]:
             if total + nfps[i] < limit:
                 picks.append(int(i))
                 total += nfps[i]

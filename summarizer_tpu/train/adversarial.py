@@ -1,0 +1,437 @@
+"""Adversarial engines: SumGAN (VAE-GAN) and SumGAN-att (WGAN).
+
+Ref: summarizer/models/sumgan.py:260-533 and sumgan_att.py:149-409.  Each
+video takes a 3-phase update — (1) selector+encoder, (2) decoder, (3)
+discriminator — each phase re-running the needed forwards with fresh noise
+and stepping its own Adam.  Faithful torch details reproduced:
+
+  - ``clip_grad_norm_(model.parameters(), 5.0)`` clips the global norm over
+    ALL parameters that received grads, while the phase optimizer only steps
+    its subset -> here: grads w.r.t. the full pytree, clipped globally, then
+    an ``optax.masked`` Adam updates the subset and zeroes the rest.
+  - VAE/AE pretraining phases (sumgan.py:320-355 / sumgan_att.py:195-230,
+    the latter at lr*10).
+  - Discriminator input noise (x * N(0,1)) for the first
+    ``epoch_noise = 0.2*epochs`` epochs.
+  - Label smoothing 0.9/0.1 for SumGAN; Wasserstein means for SumGAN-att.
+  - SumGAN-att's ``sup`` defaults to True (sumgan_att.py:155).
+
+The epoch is one ``lax.scan`` over shuffled padded videos carrying the
+params and all three optimizer states.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from summarizer_tpu.data.batching import pack_train
+from summarizer_tpu.models import sumgan as sg
+from summarizer_tpu.models import sumgan_att as sga
+from summarizer_tpu.train.engine import Engine, FoldResult
+from summarizer_tpu.train.reinforce import bce_masked
+
+
+# ----------------------------------------------------------------- utilities
+def path_mask(params, includes: Sequence[tuple]):
+    """Boolean pytree: True where the leaf's dict-path starts with any of
+    the ``includes`` prefixes."""
+
+    def rec(tree, path):
+        if isinstance(tree, dict):
+            return {k: rec(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            out = [rec(v, path + (i,)) for i, v in enumerate(tree)]
+            return type(tree)(out) if isinstance(tree, tuple) else out
+        return any(path[: len(inc)] == inc for inc in includes)
+
+    return rec(params, ())
+
+
+def masked_adam(lr, weight_decay, mask, clip_norm=5.0):
+    """Global clip over ALL grads, masked torch-Adam over the subset,
+    zero updates elsewhere."""
+    inv = jax.tree.map(lambda b: not b, mask)
+    inner = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(eps=1e-8),
+        optax.scale(-lr),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.masked(inner, mask),
+        optax.masked(optax.set_to_zero(), inv),
+    )
+
+
+def l2_norm_masked(a, b, mask=None):
+    """torch.norm(a - b) (frobenius) restricted to valid positions."""
+    d = a - b
+    if mask is not None:
+        d = d * mask[..., None]
+    return jnp.sqrt(jnp.maximum((d * d).sum(), 1e-24))
+
+
+def kl_prior(mu, logvar):
+    """-0.5 * sum(1 + logvar - mu^2 - exp(logvar)) (sumgan.py:296-298)."""
+    return -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar))
+
+
+def masked_mean(v, mask):
+    return (v * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+class _AdversarialBase(Engine):
+    """Shared fold loop; subclasses provide _cfg, phase losses, pretrain."""
+
+    def train_fold(self, fold: int, split: dict) -> FoldResult:
+        hps = self.hps
+        cfg = self._cfg()
+        train_keys = list(split["train_keys"])
+        test_keys = list(split["test_keys"])
+        self.draw_gtscores(fold, train_keys)
+
+        pack = pack_train(self.dataset.subset(train_keys))
+        feats = jax.device_put(pack.features)
+        targets = jax.device_put(pack.targets)
+        mask = jax.device_put(pack.mask)
+
+        rng = jax.random.PRNGKey(int(hps.seed) + fold)
+        rng, k_init = jax.random.split(rng)
+        params = self.init_params(k_init)
+
+        # Pretrain (VAE / AE)
+        if cfg["pretrain_epochs"] > 0:
+            rng, k_pre = jax.random.split(rng)
+            params = self.pretrain(params, feats, targets, mask, cfg, k_pre)
+
+        opts, opt_states = self.make_optimizers(params, cfg)
+        epoch_fn = self.make_epoch_fn(opts, cfg)
+        eval_fn = self.make_eval_fn(test_keys)
+
+        best = FoldResult(-1.0, 0.0, 0.0, params)
+        n = len(train_keys)
+        epoch_noise = cfg["epoch_noise"]
+        for epoch in range(int(hps.epochs)):
+            rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
+            perm = jax.random.permutation(k_perm, n)
+            params, opt_states, stats = epoch_fn(
+                params, opt_states, feats, targets, mask, perm, k_ep, epoch < epoch_noise
+            )
+            lse, ld, lc, dx, dxh, dxhp = (float(s) for s in stats)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Lse: {lse:.05f}  "
+                f"Ld: {ld:.05f}  Lc: {lc:.05f}  D(x): {dx:.05f}  "
+                f"D(x_hat): {dxh:.05f}  D(x_hat_p): {dxhp:.05f}"
+            )
+            for tag, v in (
+                ("Lse", lse), ("Ld", ld), ("Lc", lc),
+                ("D_x", dx), ("D_x_hat", dxh), ("D_x_hat_p", dxhp),
+            ):
+                self.scalar(fold, "Train", tag, v, epoch)
+
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = eval_fn(params, k_ev)
+                self.scalar(fold, "Test", "Correlation", corr, epoch)
+                self.scalar(fold, "Test", "F-score_avg", af1, epoch)
+                self.scalar(fold, "Test", "F-score_max", mf1, epoch)
+                best.best_avg_f1 = max(best.best_avg_f1, af1)
+                best.best_max_f1 = max(best.best_max_f1, mf1)
+                if corr > best.best_corr:
+                    best.best_corr = corr
+                    best.best_params = jax.device_get(params)
+        return best
+
+    # subclass hooks -------------------------------------------------------
+    def _cfg(self) -> dict:
+        raise NotImplementedError
+
+    def make_optimizers(self, params, cfg):
+        raise NotImplementedError
+
+    def make_epoch_fn(self, opts, cfg):
+        raise NotImplementedError
+
+    def pretrain(self, params, feats, targets, mask, cfg, rng):
+        raise NotImplementedError
+
+
+# ======================================================================= SumGAN
+class SumGANEngine(_AdversarialBase):
+    def _cfg(self):
+        hp = self.hp
+        epochs = int(self.hps.epochs)
+        return dict(
+            sigma=float(hp.get("sigma", 0.3)),
+            sup=bool(int(hp.get("sup", 0))),
+            pretrain_epochs=int(hp.get("pretrain_vae", 20)),
+            epoch_noise=int(hp.get("epoch_noise", 0.2 * epochs)),
+        )
+
+    def make_optimizers(self, params, cfg):
+        lr, wd = float(self.hps.lr), float(self.hps.weight_decay)
+        m_se = path_mask(params, [("s_lstm",), ("e_lstm",)])
+        m_d = path_mask(params, [("d_lstm",)])
+        m_c = path_mask(params, [("c_lstm",)])
+        opts = tuple(masked_adam(lr, wd, m) for m in (m_se, m_d, m_c))
+        return opts, tuple(o.init(params) for o in opts)
+
+    def pretrain(self, params, feats, targets, mask, cfg, rng):
+        """VAE pretraining: recon + KL on the raw sequence (sumgan.py:320-355)."""
+        lr, wd = float(self.hps.lr), float(self.hps.weight_decay)
+        m_vae = path_mask(params, [("e_lstm",), ("d_lstm",)])
+        opt = masked_adam(lr, wd, m_vae)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, x, m, key):
+            lengths = m.sum(-1).astype(jnp.int32)
+            x_hat, (mu, logvar) = sg.vae_forward(p, x, lengths, key)
+            return l2_norm_masked(x, x_hat, m) + kl_prior(mu, logvar)
+
+        def video_step(carry, inp):
+            p, s = carry
+            x, m, key = inp
+            loss, grads = jax.value_and_grad(loss_fn)(p, x[None], m[None], key)
+            upd, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, upd), s), loss
+
+        @jax.jit
+        def pre_epoch(p, s, feats, mask, perm, key):
+            xs = (feats[perm], mask[perm], jax.random.split(key, perm.shape[0]))
+            (p, s), losses = jax.lax.scan(video_step, (p, s), xs)
+            return p, s, losses.mean()
+
+        n = feats.shape[0]
+        for epoch in range(cfg["pretrain_epochs"]):
+            rng, k_perm, k_ep = jax.random.split(rng, 3)
+            perm = jax.random.permutation(k_perm, n)
+            params, opt_state, loss = pre_epoch(params, opt_state, feats, mask, perm, k_ep)
+            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
+                self.log.info(
+                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   Lvae: {float(loss):.05f}"
+                )
+        return params
+
+    def make_epoch_fn(self, opts, cfg):
+        opt_se, opt_d, opt_c = opts
+        sigma, sup = cfg["sigma"], cfg["sup"]
+
+        def loss_se(p, x, y, m, key):
+            x_hat, (mu, logvar), scores = sg.summarizer_forward(p, x, m, key)
+            _, h_real = sg.discriminate(p, x, m)
+            _, h_fake = sg.discriminate(p, x_hat, m)
+            recons = l2_norm_masked(h_real, h_fake)
+            prior = kl_prior(mu, logvar)
+            sparsity = (
+                bce_masked(scores, y, m) if sup
+                else jnp.abs(masked_mean(scores, m) - sigma)
+            )
+            return recons + prior + sparsity
+
+        def loss_d(p, x, m, key):
+            k1, k2 = jax.random.split(key)
+            x_hat, _, _ = sg.summarizer_forward(p, x, m, k1)
+            x_hat_p, _, _ = sg.summarizer_forward(p, x, m, k2, uniform=True)
+            _, h_real = sg.discriminate(p, x, m)
+            probs_fake, h_fake = sg.discriminate(p, x_hat, m)
+            probs_uniform, _ = sg.discriminate(p, x_hat_p, m)
+            recons = l2_norm_masked(h_real, h_fake)
+            ones = jnp.ones_like(probs_fake)
+            gan = bce_masked(probs_fake, 0.9 * ones, ones) + bce_masked(
+                probs_uniform, 0.9 * ones, ones
+            )
+            return recons + gan
+
+        def loss_c(p, x, m, key, noise):
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            x_hat, _, _ = sg.summarizer_forward(p, x, m, k1)
+            x_hat_p, _, _ = sg.summarizer_forward(p, x, m, k2, uniform=True)
+            x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
+            x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
+            x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
+            pr, _ = sg.discriminate(p, x_in, m)
+            pf, _ = sg.discriminate(p, x_hat, m)
+            pu, _ = sg.discriminate(p, x_hat_p, m)
+            ones = jnp.ones_like(pr)
+            loss = (
+                bce_masked(pr, 0.9 * ones, ones)
+                + bce_masked(pf, 0.1 * ones, ones)
+                + bce_masked(pu, 0.1 * ones, ones)
+            )
+            return loss, (pr.mean(), pf.mean(), pu.mean())
+
+        def video_step(carry, inp):
+            params, (s_se, s_d, s_c) = carry
+            x, y, m, key, noise = inp
+            x, y, m = x[None], y[None], m[None]
+            k1, k2, k3 = jax.random.split(key, 3)
+
+            lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
+            upd, s_se = opt_se.update(g, s_se, params)
+            params = optax.apply_updates(params, upd)
+
+            ld, g = jax.value_and_grad(loss_d)(params, x, m, k2)
+            upd, s_d = opt_d.update(g, s_d, params)
+            params = optax.apply_updates(params, upd)
+
+            (lc, probs), g = jax.value_and_grad(loss_c, has_aux=True)(
+                params, x, m, k3, noise
+            )
+            upd, s_c = opt_c.update(g, s_c, params)
+            params = optax.apply_updates(params, upd)
+
+            return (params, (s_se, s_d, s_c)), (lse, ld, lc, *probs)
+
+        @jax.jit
+        def epoch(params, opt_states, feats, targets, mask, perm, rng, noise):
+            n = perm.shape[0]
+            xs = (
+                feats[perm],
+                targets[perm],
+                mask[perm],
+                jax.random.split(rng, n),
+                jnp.full((n,), noise, bool),
+            )
+            (params, opt_states), stats = jax.lax.scan(
+                video_step, (params, opt_states), xs
+            )
+            return params, opt_states, tuple(s.mean() for s in stats)
+
+        return epoch
+
+
+# ================================================================== SumGAN-att
+class SumGANAttEngine(_AdversarialBase):
+    def _cfg(self):
+        hp = self.hp
+        epochs = int(self.hps.epochs)
+        return dict(
+            sup=bool(int(hp.get("sup", 1))),  # defaults True (sumgan_att.py:155)
+            pretrain_epochs=int(hp.get("pretrain_ae", 80)),
+            epoch_noise=int(hp.get("epoch_noise", 0.2 * epochs)),
+        )
+
+    def make_optimizers(self, params, cfg):
+        lr, wd = float(self.hps.lr), float(self.hps.weight_decay)
+        m_se = path_mask(params, [("selector",), ("ae", "enc")])
+        m_d = path_mask(params, [("ae", "dec")])
+        m_c = path_mask(params, [("c_lstm",)])
+        opts = tuple(masked_adam(lr, wd, m) for m in (m_se, m_d, m_c))
+        return opts, tuple(o.init(params) for o in opts)
+
+    def pretrain(self, params, feats, targets, mask, cfg, rng):
+        """AE pretraining at lr*10: ||x - x_hat|| (sumgan_att.py:195-230)."""
+        lr, wd = float(self.hps.lr) * 10.0, float(self.hps.weight_decay)
+        hp = self.hp
+        m_ae = path_mask(params, [("ae",)])
+        opt = masked_adam(lr, wd, m_ae)
+        opt_state = opt.init(params)
+        heads = int(hp.get("ae_attention_heads", 4))
+
+        def loss_fn(p, x, m, key):
+            x_hat = sga.ae_apply(p["ae"], x, m, heads, key, True)
+            return l2_norm_masked(x, x_hat, m)
+
+        def video_step(carry, inp):
+            p, s = carry
+            x, m, key = inp
+            loss, grads = jax.value_and_grad(loss_fn)(p, x[None], m[None], key)
+            upd, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, upd), s), loss
+
+        @jax.jit
+        def pre_epoch(p, s, feats, mask, perm, key):
+            xs = (feats[perm], mask[perm], jax.random.split(key, perm.shape[0]))
+            (p, s), losses = jax.lax.scan(video_step, (p, s), xs)
+            return p, s, losses.mean()
+
+        n = feats.shape[0]
+        for epoch in range(cfg["pretrain_epochs"]):
+            rng, k_perm, k_ep = jax.random.split(rng, 3)
+            perm = jax.random.permutation(k_perm, n)
+            params, opt_state, loss = pre_epoch(params, opt_state, feats, mask, perm, k_ep)
+            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
+                self.log.info(
+                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   Lae: {float(loss):.05f}"
+                )
+        return params
+
+    def make_epoch_fn(self, opts, cfg):
+        opt_se, opt_d, opt_c = opts
+        sup = cfg["sup"]
+        hp = self.hp
+
+        def loss_se(p, x, y, m, key):
+            x_hat, scores = sga.summarizer_forward(p, x, m, key, hp)
+            _, h_real = sga.discriminate(p, x, m)
+            _, h_fake = sga.discriminate(p, x_hat, m)
+            recons = l2_norm_masked(h_real, h_fake)
+            sparsity = bce_masked(scores, y, m) if sup else 0.0
+            return recons + sparsity
+
+        def loss_d(p, x, m, key):
+            k1, k2 = jax.random.split(key)
+            x_hat, _ = sga.summarizer_forward(p, x, m, k1, hp)
+            x_hat_p, _ = sga.summarizer_forward(p, x, m, k2, hp, uniform=True)
+            _, h_real = sga.discriminate(p, x, m)
+            pf, h_fake = sga.discriminate(p, x_hat, m)
+            pu, _ = sga.discriminate(p, x_hat_p, m)
+            recons = l2_norm_masked(h_real, h_fake)
+            gan = jnp.mean(-0.5 * (pf + pu))  # WGAN generator (sumgan_att.py:187-189)
+            return recons + gan
+
+        def loss_c(p, x, m, key, noise):
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            x_hat, _ = sga.summarizer_forward(p, x, m, k1, hp)
+            x_hat_p, _ = sga.summarizer_forward(p, x, m, k2, hp, uniform=True)
+            x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
+            x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
+            x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
+            pr, _ = sga.discriminate(p, x_in, m)
+            pf, _ = sga.discriminate(p, x_hat, m)
+            pu, _ = sga.discriminate(p, x_hat_p, m)
+            # WGAN discriminator (sumgan_att.py:191-193)
+            loss = jnp.mean(-pr + 0.5 * (pf + pu))
+            return loss, (pr.mean(), pf.mean(), pu.mean())
+
+        def video_step(carry, inp):
+            params, (s_se, s_d, s_c) = carry
+            x, y, m, key, noise = inp
+            x, y, m = x[None], y[None], m[None]
+            k1, k2, k3 = jax.random.split(key, 3)
+
+            lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
+            upd, s_se = opt_se.update(g, s_se, params)
+            params = optax.apply_updates(params, upd)
+
+            ld, g = jax.value_and_grad(loss_d)(params, x, m, k2)
+            upd, s_d = opt_d.update(g, s_d, params)
+            params = optax.apply_updates(params, upd)
+
+            (lc, probs), g = jax.value_and_grad(loss_c, has_aux=True)(
+                params, x, m, k3, noise
+            )
+            upd, s_c = opt_c.update(g, s_c, params)
+            params = optax.apply_updates(params, upd)
+
+            return (params, (s_se, s_d, s_c)), (lse, ld, lc, *probs)
+
+        @jax.jit
+        def epoch(params, opt_states, feats, targets, mask, perm, rng, noise):
+            n = perm.shape[0]
+            xs = (
+                feats[perm],
+                targets[perm],
+                mask[perm],
+                jax.random.split(rng, n),
+                jnp.full((n,), noise, bool),
+            )
+            (params, opt_states), stats = jax.lax.scan(
+                video_step, (params, opt_states), xs
+            )
+            return params, opt_states, tuple(s.mean() for s in stats)
+
+        return epoch

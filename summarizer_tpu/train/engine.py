@@ -1,0 +1,130 @@
+"""Engine base: the fold protocol shared by all training paradigms.
+
+Reproduces the reference Trainer contract (summarizer/models/__init__.py:9-187)
+— reset per fold, train(fold) -> best (corr, avgF1, maxF1) by test correlation,
+test() over the fold's test keys, predict_dataset over every video — on top of
+packed device tensors and one jitted eval program per fold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summarizer_tpu.data.batching import eval_static_dims, pack_eval
+from summarizer_tpu.data.hdf5 import SummarizerDataset
+from summarizer_tpu.ops import eval_np
+from summarizer_tpu.ops.eval_jax import evaluate_batch
+
+
+@dataclass
+class FoldResult:
+    best_corr: float
+    best_avg_f1: float
+    best_max_f1: float
+    best_params: Any
+
+
+class Engine:
+    """One model family on one dataset; drives folds."""
+
+    def __init__(self, spec, hps, dataset: SummarizerDataset, dataset_name: str):
+        self.spec = spec
+        self.hps = hps
+        self.dataset = dataset
+        self.dataset_name = dataset_name
+        self.hp = dict(hps.extra_params or {})
+        self.log = hps.logger
+        self.writer = hps.writer
+
+    # ------------------------------------------------------------------ eval
+    def make_eval_fn(self, keys: list[str]):
+        """Compile the full test pass: model forward + upsample + Spearman +
+        knapsack/rank + F1 for every video, one XLA program."""
+        records = self.dataset.subset(keys)
+        prop = float(self.hps.summary_proportion)
+        method = str(self.hps.selection_algorithm)
+        s, g, u, f, cap = eval_static_dims(records, prop)
+        batch, feats = pack_eval(records, s, g, u, f)
+        batch = jax.device_put(batch)
+        feats = jax.device_put(feats)
+        mask = (np.arange(s)[None, :] < np.asarray(batch.n_steps)[:, None]).astype(
+            np.float32
+        )
+        mask = jax.device_put(mask)
+        apply_fn = self.spec.module.apply
+        hp = self.hp
+
+        if self.hps.eval_device:
+
+            @jax.jit
+            def eval_program(params, rng, feats, mask, batch):
+                scores = apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+                corr, af1, mf1 = evaluate_batch(
+                    scores,
+                    batch,
+                    proportion=prop,
+                    method=method,
+                    max_capacity=cap,
+                    out_frames=f,
+                )
+                return corr.mean(), af1.mean(), mf1.mean()
+
+            def run(params, rng):
+                c, a, m = eval_program(params, rng, feats, mask, batch)
+                return float(c), float(a), float(m)
+
+            return run
+
+        # Host-oracle path: device forward, numpy eval (exact reference arith).
+        @jax.jit
+        def forward(params, rng, feats, mask):
+            return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+
+        def run(params, rng):
+            scores = np.asarray(forward(params, rng, feats, mask))
+            corrs, af1s, mf1s = [], [], []
+            for i, r in enumerate(records):
+                probs = scores[i, : r.n_steps]
+                ms = eval_np.generate_scores(probs, r.n_frames, r.picks)
+                corrs.append(eval_np.evaluate_scores(ms, r.user_scores))
+                summ = eval_np.generate_summary(
+                    probs, r.change_points, r.n_frames, r.n_frame_per_seg, r.picks, prop, method
+                )
+                a, mx = eval_np.evaluate_summary(summ, r.user_summary)
+                af1s.append(a)
+                mf1s.append(mx)
+            return float(np.mean(corrs)), float(np.mean(af1s)), float(np.mean(mf1s))
+
+        return run
+
+    # ----------------------------------------------------------------- hooks
+    def init_params(self, rng):
+        return self.spec.module.init(rng, self.hp)
+
+    def train_fold(self, fold: int, split: dict) -> FoldResult:
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- tb utils
+    def scalar(self, fold, phase, tag, value, step):
+        self.writer.add_scalar(
+            f"{self.dataset_name}/Fold_{fold + 1}/{phase}/{tag}", value, step
+        )
+
+    def draw_gtscores(self, fold, keys):
+        """TB histograms of normalized gtscores (ref: models/__init__.py:121-132)."""
+        for key in keys:
+            r = self.dataset[key]
+            try:
+                i = int(key.split("_")[1])
+            except (IndexError, ValueError):
+                i = 0
+            self.writer.add_histogram(
+                f"{self.dataset_name}/Fold_{fold + 1}/Train/gtscores",
+                r.normalized_gtscore,
+                i,
+            )

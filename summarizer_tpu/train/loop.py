@@ -1,0 +1,148 @@
+"""The cross-validation experiment driver.
+
+Equivalent of summarizer/main.py:10-72: for each split file, train every
+fold, keep the best-by-correlation weights across folds, report CV means,
+log hparams, and run full-dataset prediction with the best weights.
+"""
+
+from __future__ import annotations
+
+import os
+
+import h5py
+import jax
+import numpy as np
+
+from summarizer_tpu.data.hdf5 import SummarizerDataset
+from summarizer_tpu.ops import eval_np
+from summarizer_tpu.train.checkpoint import load_params, save_params
+from summarizer_tpu.train.engine import Engine
+
+
+def make_engine(hps, dataset, dataset_name) -> Engine:
+    spec = hps.model_spec
+    if spec.engine == "supervised":
+        from summarizer_tpu.train.supervised import SupervisedEngine
+
+        return SupervisedEngine(spec, hps, dataset, dataset_name)
+    if spec.engine == "reinforce":
+        from summarizer_tpu.train.reinforce import ReinforceEngine
+
+        return ReinforceEngine(spec, hps, dataset, dataset_name)
+    if spec.engine == "sumgan":
+        from summarizer_tpu.train.adversarial import SumGANEngine
+
+        return SumGANEngine(spec, hps, dataset, dataset_name)
+    if spec.engine == "sumgan_att":
+        from summarizer_tpu.train.adversarial import SumGANAttEngine
+
+        return SumGANAttEngine(spec, hps, dataset, dataset_name)
+    raise KeyError(f"Unknown engine {spec.engine}")
+
+
+def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
+    """Forward every video in the dataset with the given params and write the
+    predictions h5 (layout parity: summarizer/models/__init__.py:142-177 —
+    one group per dataset file, per-video scores / user_summary /
+    machine_summary / machine_scores)."""
+    hps = engine.hps
+    dataset = engine.dataset
+    keys = dataset.keys()
+    prop = float(hps.summary_proportion)
+    method = str(hps.selection_algorithm)
+    apply_fn = engine.spec.module.apply
+    hp = engine.hp
+
+    @jax.jit
+    def forward(params, feats, mask, rng):
+        return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+
+    os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
+    with h5py.File(pred_path, "w") as f:
+        g = f.create_group(os.path.basename(dataset.path))
+        rng = jax.random.PRNGKey(int(hps.seed))
+        for lo in range(0, len(keys), chunk):
+            batch_keys = keys[lo : lo + chunk]
+            records = dataset.subset(batch_keys)
+            s = max(r.n_steps for r in records)
+            d = records[0].features.shape[1]
+            feats = np.zeros((len(records), s, d), np.float32)
+            for i, r in enumerate(records):
+                feats[i, : r.n_steps] = r.features
+            mask = (
+                np.arange(s)[None, :] < np.array([r.n_steps for r in records])[:, None]
+            ).astype(np.float32)
+            rng, k = jax.random.split(rng)
+            scores = np.asarray(forward(params, feats, mask, k))
+            for i, r in enumerate(records):
+                probs = scores[i, : r.n_steps]
+                machine_summary = eval_np.generate_summary(
+                    probs, r.change_points, r.n_frames, r.n_frame_per_seg, r.picks, prop, method
+                )
+                machine_scores = eval_np.generate_scores(probs, r.n_frames, r.picks)
+                kgrp = g.create_group(r.key)
+                kgrp.create_dataset("scores", data=probs)
+                kgrp.create_dataset("user_summary", data=r.user_summary)
+                kgrp.create_dataset("machine_summary", data=machine_summary)
+                kgrp.create_dataset("machine_scores", data=machine_scores)
+
+
+def train(hps):
+    """Train across all split files; returns [(splits_file, corr, avg, max)]
+    (ref: summarizer/main.py:10-72)."""
+    results = []
+    for sf in hps.splits_files:
+        hps.logger.info(f"Start training on {sf}")
+        dataset = SummarizerDataset(hps.dataset_of_file[sf])
+        dataset_name = hps.dataset_name_of_file[sf]
+        engine = make_engine(hps, dataset, dataset_name)
+        folds = hps.splits_of_file[sf]
+
+        weights_path = hps.weights_path[sf]
+        corrs, af1s, mf1s = [], [], []
+        corr_max = -1.0
+        for fold, split in enumerate(folds):
+            res = engine.train_fold(fold, split)
+            corrs.append(res.best_corr)
+            af1s.append(res.best_avg_f1)
+            mf1s.append(res.best_max_f1)
+            if res.best_corr > corr_max:
+                corr_max = res.best_corr
+                save_params(weights_path, res.best_params)
+            hps.logger.info(
+                f"File: {sf}   Fold: {fold + 1}/{len(folds)}   "
+                f"Corr: {res.best_corr: 0.5f}  "
+                f"Avg F-score: {res.best_avg_f1:0.5f}  "
+                f"Max F-score: {res.best_max_f1:0.5f}"
+            )
+
+        hps.logger.info(
+            f"File: {sf}   Cross-validation Corr: {np.mean(corrs): 0.5f}  "
+            f"Avg F-score: {np.mean(af1s):0.5f}  Max F-score: {np.mean(mf1s):0.5f}"
+        )
+        hps.logger.info(f"File: {sf}   Best weights: {weights_path}")
+
+        # TB hparams. The reference accidentally overwrites metric_dict twice
+        # (main.py:56-58), keeping only max-F folds; fixed here: all three
+        # metric families are reported.
+        hparams = hps.get_full_hps_dict()
+        hparams["dataset"] = dataset_name
+        metrics = {}
+        for fam, vals in (
+            ("Correlation", corrs),
+            ("F-score_avg", af1s),
+            ("F-score_max", mf1s),
+        ):
+            for i, v in enumerate(vals):
+                metrics[f"{fam}/Fold_{i + 1}"] = float(v)
+            metrics[f"{fam}/CV_Average"] = float(np.mean(vals))
+        hps.writer.add_hparams(hparams, metrics)
+
+        # Full-dataset prediction with the best weights (main.py:64-67).
+        template = engine.init_params(jax.random.PRNGKey(0))
+        best_params = load_params(weights_path, template)
+        predict_dataset(engine, best_params, hps.pred_path[sf])
+        hps.logger.info(f"File: {sf}   Machine predictions: {hps.pred_path[sf]}")
+
+        results.append((sf, float(np.mean(corrs)), float(np.mean(af1s)), float(np.mean(mf1s))))
+    return results

@@ -1,0 +1,192 @@
+"""REINFORCE engine for DSN (diversity-representativeness reward).
+
+Ref: summarizer/models/dsn.py:49-236.  Per video: Bernoulli(probs) actions
+over ``num_episodes`` episodes, reward = 0.5 * (diversity +
+representativeness) with a temporal-distance cutoff, policy-gradient loss
+``-E[logpi * (R - b)]`` with a per-video EMA baseline (0.9/0.1), a length
+regularizer ``beta * (mean(p) - eps)^2``, optional supervised BCE, and
+grad-norm clip 5.0 before Adam.
+
+TPU shape: episodes are vmapped (one batched O(T^2) reward evaluation);
+the similarity/distance matrices are hoisted out of the episode loop (they
+depend only on the input, which the reference recomputes per episode); the
+whole epoch is one ``lax.scan`` carrying (params, opt_state, baselines).
+
+Quirk policy: the reference truncates ``beta = int(0.01) = 0`` (dsn.py:52),
+silently disabling the length regularizer.  Default here is the intended
+float 0.01; set extra param ``compat_beta_int=1`` to reproduce the bug.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from summarizer_tpu.data.batching import pack_train
+from summarizer_tpu.train.engine import Engine, FoldResult
+from summarizer_tpu.train.optim import torch_adam
+
+
+def bce_masked(p, y, mask):
+    """torch nn.BCELoss semantics (mean, log clamped at -100)."""
+    logp = jnp.maximum(jnp.log(jnp.maximum(p, 1e-38)), -100.0)
+    log1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 1e-38)), -100.0)
+    ll = y * logp + (1.0 - y) * log1p
+    return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def compute_reward(x, actions, mask, far_sim: bool, temp_dist_thre: int):
+    """Diversity + representativeness reward for one video (dsn.py:185-236).
+
+    x: (T, D) features, actions: (T,) binary picks, mask: (T,) validity.
+    """
+    picks = actions * mask
+    n_picks = picks.sum()
+
+    # Diversity: mean pairwise cosine dissimilarity among picked frames,
+    # with far-apart pairs (|i-j| > thre) treated as fully dissimilar.
+    normed = x * jax.lax.rsqrt(jnp.maximum((x * x).sum(-1, keepdims=True), 1e-12))
+    dissim = 1.0 - normed @ normed.T
+    if not far_sim:
+        t = x.shape[0]
+        ij = jnp.arange(t)
+        far = jnp.abs(ij[:, None] - ij[None, :]) > temp_dist_thre
+        dissim = jnp.where(far, 1.0, dissim)
+    pair_w = picks[:, None] * picks[None, :] * (1.0 - jnp.eye(x.shape[0]))
+    r_div = jnp.where(
+        n_picks > 1, (dissim * pair_w).sum() / jnp.maximum(n_picks * (n_picks - 1.0), 1.0), 0.0
+    )
+
+    # Representativeness: exp(-mean over frames of min sq-dist to a pick).
+    sq = (x * x).sum(-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    d2_to_picks = jnp.where(picks[None, :] > 0, d2, jnp.inf)
+    min_d2 = jnp.min(d2_to_picks, axis=1)
+    mean_min = jnp.where(
+        n_picks > 0, (jnp.where(mask > 0, min_d2, 0.0)).sum() / jnp.maximum(mask.sum(), 1.0), 0.0
+    )
+    r_rep = jnp.exp(-mean_min)
+
+    return jnp.where(n_picks == 0, 0.0, 0.5 * (r_div + r_rep))
+
+
+class ReinforceEngine(Engine):
+    def _cfg(self):
+        hp = self.hp
+        compat = bool(int(hp.get("compat_beta_int", 0)))
+        beta = float(hp.get("beta", 0.01))
+        if compat:
+            beta = float(int(beta))  # reference dsn.py:52 truncation
+        return dict(
+            beta=beta,
+            num_episodes=int(hp.get("num_episodes", 5)),
+            eps=float(hp.get("eps", 0.5)),
+            far_sim=bool(int(hp.get("far_sim", 0))),
+            temp_dist_thre=int(hp.get("temp_dist_thre", 20)),
+            sup=bool(int(hp.get("sup", 0))),
+        )
+
+    def make_epoch_fn(self, optimizer):
+        cfg = self._cfg()
+        apply_fn = self.spec.module.apply
+        hp = self.hp
+        E = cfg["num_episodes"]
+
+        def loss_fn(params, x, t, m, baseline, rng):
+            probs = apply_fn(params, x[None], m[None], rng=rng, train=True, hp=hp)[0]
+            pmean = (probs * m).sum() / jnp.maximum(m.sum(), 1.0)
+            loss = cfg["beta"] * (pmean - cfg["eps"]) ** 2
+            if cfg["sup"]:
+                loss = loss + bce_masked(probs, t, m)
+
+            def episode(key):
+                actions = jax.random.bernoulli(key, probs).astype(jnp.float32)
+                logp = actions * jnp.log(jnp.maximum(probs, 1e-12)) + (
+                    1.0 - actions
+                ) * jnp.log(jnp.maximum(1.0 - probs, 1e-12))
+                logp_mean = (logp * m).sum() / jnp.maximum(m.sum(), 1.0)
+                reward = jax.lax.stop_gradient(
+                    compute_reward(x, actions, m, cfg["far_sim"], cfg["temp_dist_thre"])
+                )
+                return -logp_mean * (reward - baseline), reward
+
+            pg, rewards = jax.vmap(episode)(jax.random.split(rng, E))
+            loss = (loss + pg.sum()) / float(E)  # dsn.py:139 episode average
+            return loss, rewards.mean()
+
+        def video_step(carry, inp):
+            params, opt_state, baselines = carry
+            x, t, m, idx, rng = inp
+            (loss, reward), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, t, m, baselines[idx], rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            baselines = baselines.at[idx].set(0.9 * baselines[idx] + 0.1 * reward)
+            return (params, opt_state, baselines), (loss, reward)
+
+        @jax.jit
+        def epoch(params, opt_state, baselines, feats, targets, mask, perm, rng):
+            xs = (
+                feats[perm],
+                targets[perm],
+                mask[perm],
+                perm,
+                jax.random.split(rng, perm.shape[0]),
+            )
+            (params, opt_state, baselines), (losses, rewards) = jax.lax.scan(
+                video_step, (params, opt_state, baselines), xs
+            )
+            return params, opt_state, baselines, losses.mean(), rewards.mean()
+
+        return epoch
+
+    def train_fold(self, fold: int, split: dict) -> FoldResult:
+        hps = self.hps
+        train_keys = list(split["train_keys"])
+        test_keys = list(split["test_keys"])
+        self.draw_gtscores(fold, train_keys)
+
+        pack = pack_train(self.dataset.subset(train_keys))
+        feats = jax.device_put(pack.features)
+        targets = jax.device_put(pack.targets)
+        mask = jax.device_put(pack.mask)
+        baselines = jnp.zeros(len(train_keys), jnp.float32)
+
+        rng = jax.random.PRNGKey(int(hps.seed) + fold)
+        rng, k_init = jax.random.split(rng)
+        params = self.init_params(k_init)
+        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay), clip_norm=5.0)
+        opt_state = optimizer.init(params)
+
+        epoch_fn = self.make_epoch_fn(optimizer)
+        eval_fn = self.make_eval_fn(test_keys)
+
+        best = FoldResult(-1.0, 0.0, 0.0, params)
+        n = len(train_keys)
+        for epoch in range(int(hps.epochs)):
+            rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
+            perm = jax.random.permutation(k_perm, n)
+            params, opt_state, baselines, loss, reward = epoch_fn(
+                params, opt_state, baselines, feats, targets, mask, perm, k_ep
+            )
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   "
+                f"Reward: {float(reward):.05f}  Loss: {float(loss):.05f}"
+            )
+            self.scalar(fold, "Train", "Reward", float(reward), epoch)
+            self.scalar(fold, "Train", "Loss", float(loss), epoch)
+
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = eval_fn(params, k_ev)
+                self.scalar(fold, "Test", "Correlation", corr, epoch)
+                self.scalar(fold, "Test", "F-score_avg", af1, epoch)
+                self.scalar(fold, "Test", "F-score_max", mf1, epoch)
+                best.best_avg_f1 = max(best.best_avg_f1, af1)
+                best.best_max_f1 = max(best.best_max_f1, mf1)
+                if corr > best.best_corr:
+                    best.best_corr = corr
+                    best.best_params = jax.device_get(params)
+        return best

@@ -1,0 +1,121 @@
+"""Supervised MSE engine (random / logistic / vasnet / transformer).
+
+The reference's hot loop — shuffle keys, per-video forward/MSE/backward/Adam
+step (summarizer/models/logistic.py:61-89) — becomes ONE compiled XLA program
+per epoch: a ``lax.scan`` over shuffled, padded videos whose carry is
+(params, opt_state).  ``batch_size=1`` preserves the reference's exact
+batch-1 dynamics (one optimizer step per video, per-video min-max targets,
+per-video loss means); larger batch sizes take one step per video *group*
+with the per-video masked means averaged, and shard over the device mesh in
+the data-parallel path (parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from summarizer_tpu.data.batching import pack_train
+from summarizer_tpu.train.engine import Engine, FoldResult
+from summarizer_tpu.train.optim import torch_adam
+
+
+def masked_mse(scores, targets, mask):
+    """Per-video mean over valid steps, then mean over the (micro)batch —
+    keeps each video's loss weight equal regardless of its length, matching
+    per-video nn.MSELoss means in the reference."""
+    se = ((scores - targets) * mask) ** 2
+    per_video = se.sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+    return per_video.mean()
+
+
+def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int):
+    """Build the jitted epoch program: scan over video groups."""
+
+    def loss_fn(params, x, t, m, rng):
+        scores = apply_fn(params, x, m, rng=rng, train=True, hp=hp)
+        return masked_mse(scores, t, m)
+
+    def group_step(carry, inp):
+        params, opt_state = carry
+        x, t, m, rng = inp
+        if trainable:
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, t, m, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        else:
+            loss = loss_fn(params, x, t, m, rng)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, feats, targets, mask, perm, rng):
+        n = perm.shape[0]
+        g = n // batch_size
+        sel = perm[: g * batch_size].reshape(g, batch_size)
+        xs = (
+            feats[sel],
+            targets[sel],
+            mask[sel],
+            jax.random.split(rng, g),
+        )
+        (params, opt_state), losses = jax.lax.scan(group_step, (params, opt_state), xs)
+        return params, opt_state, losses.mean()
+
+    return epoch
+
+
+class SupervisedEngine(Engine):
+    def train_fold(self, fold: int, split: dict) -> FoldResult:
+        hps = self.hps
+        train_keys = list(split["train_keys"])
+        test_keys = list(split["test_keys"])
+        self.draw_gtscores(fold, train_keys)
+
+        records = self.dataset.subset(train_keys)
+        pack = pack_train(records)
+        feats = jax.device_put(pack.features)
+        targets = jax.device_put(pack.targets)
+        mask = jax.device_put(pack.mask)
+
+        rng = jax.random.PRNGKey(int(hps.seed) + fold)
+        rng, k_init = jax.random.split(rng)
+        params = self.init_params(k_init)
+        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
+        opt_state = optimizer.init(params)
+
+        bs = max(1, int(hps.batch_size))
+        epoch_fn = make_epoch_fn(
+            self.spec.module.apply, self.hp, optimizer, self.spec.trainable, bs
+        )
+        eval_fn = self.make_eval_fn(test_keys)
+
+        best = FoldResult(-1.0, 0.0, 0.0, params)
+        n = len(records)
+        for epoch in range(int(hps.epochs)):
+            rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
+            perm = jax.random.permutation(k_perm, n)
+            params, opt_state, loss = epoch_fn(
+                params, opt_state, feats, targets, mask, perm, k_ep
+            )
+            loss = float(loss)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Loss: {loss:.05f}"
+            )
+            self.scalar(fold, "Train", "Loss", loss, epoch)
+
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = eval_fn(params, k_ev)
+                self.scalar(fold, "Test", "Correlation", corr, epoch)
+                self.scalar(fold, "Test", "F-score_avg", af1, epoch)
+                self.scalar(fold, "Test", "F-score_max", mf1, epoch)
+                best.best_avg_f1 = max(best.best_avg_f1, af1)
+                best.best_max_f1 = max(best.best_max_f1, mf1)
+                if corr > best.best_corr:
+                    best.best_corr = corr
+                    best.best_params = jax.device_get(params)
+
+        return best
