@@ -1,0 +1,19 @@
+"""Device-mesh parallelism.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.4; the only
+placement code is ``use_cuda``/``set_device``, summarizer/utils/
+config.py:94-103).  Here parallel training is a first-class subsystem:
+
+  - a 1-D/2-D ``jax.sharding.Mesh`` over ICI (``dp`` x ``tp``),
+  - video-batch data parallelism (batch axis sharded over ``dp``; gradient
+    psums are emitted by XLA from the shardings, no hand-written collectives),
+  - Megatron-style tensor parallelism for the attention/FFN matmuls
+    (column-parallel in-projections, row-parallel out-projections) declared
+    purely through ``NamedSharding`` rules on the param pytree.
+"""
+
+from summarizer_tpu.parallel.mesh import make_mesh  # noqa: F401
+from summarizer_tpu.parallel.data_parallel import (  # noqa: F401
+    make_sharded_train_step,
+    param_shardings,
+)

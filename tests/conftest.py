@@ -6,7 +6,11 @@ be testable without a TPU); the real chip is exercised by bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize force-registers the axon TPU PJRT plugin when
+# PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS; clear it so tests
+# really run on the virtual CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
