@@ -1,0 +1,99 @@
+"""Benchmark sweep + results table (ref: summarizer/benchmark.py:19-108).
+
+Trains a curated model sequence with best-known hparams over the canonical
+splits and renders a psql-style table to the terminal and
+``logs/<ts>_benchmark/table.txt``.  The reference wires in Random and
+Logistic (benchmark.py:30-43); all seven families are wired here, each
+gated by ``--models`` for partial sweeps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import os
+
+import pandas as pd
+from tabulate import tabulate
+
+from summarizer_tpu.utils.config import HParameters
+
+# Best-known per-model configs (epochs capped by --max-epochs).
+MODEL_CONFIGS = [
+    ("Random", {"model": "random", "epochs": 1, "extra_params": {}}),
+    ("Logistic Regression", {"model": "logistic", "epochs": 30, "extra_params": {}}),
+    ("VASNet", {"model": "vasnet", "epochs": 30, "extra_params": {}}),
+    ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
+    ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
+    ("SumGAN", {"model": "sumgan", "epochs": 20, "extra_params": {}}),
+    ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "extra_params": {}}),
+]
+
+
+def benchmark_model(name: str, args: dict):
+    logging.info(f"Train {name} model...")
+    hps = HParameters()
+    hps.load_from_args(args)
+    from summarizer_tpu.train.loop import train
+
+    rows = []
+    for splits_file, corr, avg_f, max_f in train(hps):
+        rows.append([name, splits_file, corr, avg_f, max_f, hps.log_path])
+        logging.info(
+            f"File: {splits_file}  Corr: {corr: 0.5f}  "
+            f"Avg F-score: {avg_f:0.5f}  Max F-score: {max_f:0.5f}"
+        )
+    hps.writer.close()
+    return rows
+
+
+def show_save_results(table: pd.DataFrame, log_path: str):
+    table_str = tabulate(table, headers="keys", tablefmt="psql", showindex=False)
+    print(table_str)
+    os.makedirs(log_path, exist_ok=True)
+    with open(os.path.join(log_path, "table.txt"), "w") as f:
+        f.write(table_str)
+    logging.info(f"Table saved in {os.path.join(log_path, 'table.txt')}")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s::%(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser("summarizer_tpu : Benchmark")
+    parser.add_argument("-e", "--max-epochs", type=int, default=300)
+    parser.add_argument(
+        "-s",
+        "--splits-files",
+        type=str,
+        default="splits/tvsum_splits.json,splits/summe_splits.json",
+    )
+    parser.add_argument("--models", type=str, default=None,
+                        help="Comma list of model keys to run (default: all)")
+    parser.add_argument("--datasets", type=str, default=None)
+    args, _ = parser.parse_known_args(argv)
+
+    log_path = os.path.join(
+        "logs", f"{int(datetime.datetime.now().timestamp())}_benchmark"
+    )
+    wanted = set(args.models.split(",")) if args.models else None
+
+    rows = []
+    for name, cfg in MODEL_CONFIGS:
+        if wanted is not None and cfg["model"] not in wanted:
+            continue
+        run_args = dict(cfg)
+        run_args["epochs"] = min(run_args["epochs"], args.max_epochs)
+        run_args["splits_files"] = args.splits_files
+        run_args["log_level"] = "error"
+        if args.datasets:
+            run_args["datasets"] = args.datasets
+        rows += benchmark_model(name, run_args)
+
+    table = pd.DataFrame(
+        rows, columns=["Model", "File", "Correlation", "Avg F-score", "Max F-score", "Logs"]
+    )
+    show_save_results(table, log_path)
+
+
+if __name__ == "__main__":
+    main()

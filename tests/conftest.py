@@ -6,9 +6,11 @@ be testable without a TPU); the real chip is exercised by bench.py.
 
 import os
 
-# The image's sitecustomize force-registers the axon TPU PJRT plugin when
-# PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS; clear it so tests
-# really run on the virtual CPU mesh.
+# The image's sitecustomize force-registers a TPU PJRT plugin at interpreter
+# startup (before pytest loads conftest), so env vars alone cannot win; pin
+# the platform through jax.config before any backend is initialized.  Without
+# this, "CPU" tests silently run on the TPU with bf16 MXU matmuls and the
+# torch-parity tolerances fail.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
