@@ -33,8 +33,20 @@ def masked_mse(scores, targets, mask):
     return per_video.mean()
 
 
-def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int):
-    """Build the jitted epoch program: scan over video groups."""
+def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mesh=None):
+    """Build the jitted epoch program: scan over video groups.
+
+    With ``mesh``, each group's video axis is shard-constrained over the
+    ``dp`` mesh axis: the per-device microbatch computes locally and XLA
+    emits the gradient psum over ICI (params stay replicated)."""
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch_size % mesh.shape["dp"] == 0, (
+            f"batch_size {batch_size} must divide over dp={mesh.shape['dp']}"
+        )
+        dp_sharding = NamedSharding(mesh, P("dp"))
 
     def loss_fn(params, x, t, m, rng):
         scores = apply_fn(params, x, m, rng=rng, train=True, hp=hp)
@@ -43,6 +55,10 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int):
     def group_step(carry, inp):
         params, opt_state = carry
         x, t, m, rng = inp
+        if mesh is not None:
+            x = jax.lax.with_sharding_constraint(x, dp_sharding)
+            t = jax.lax.with_sharding_constraint(t, dp_sharding)
+            m = jax.lax.with_sharding_constraint(m, dp_sharding)
         if trainable:
             loss, grads = jax.value_and_grad(loss_fn)(params, x, t, m, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -88,8 +104,13 @@ class SupervisedEngine(Engine):
         opt_state = optimizer.init(params)
 
         bs = max(1, int(hps.batch_size))
+        mesh = None
+        if int(getattr(hps, "data_parallel", 0)) > 1:
+            from summarizer_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(int(hps.data_parallel), dp=int(hps.data_parallel), tp=1)
         epoch_fn = make_epoch_fn(
-            self.spec.module.apply, self.hp, optimizer, self.spec.trainable, bs
+            self.spec.module.apply, self.hp, optimizer, self.spec.trainable, bs, mesh
         )
         eval_fn = self.make_eval_fn(test_keys)
 

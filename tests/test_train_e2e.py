@@ -1,0 +1,196 @@
+"""End-to-end training tests: every engine runs; logistic overfits; the
+data-parallel path trains on the virtual 8-device mesh; the CLI wires up."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from summarizer_tpu.data.splits import write_splits
+from summarizer_tpu.utils.config import HParameters
+
+
+def _mk_hps(tmp_path, synth_h5, model, extra, **over):
+    with h5py.File(synth_h5) as f:
+        keys = list(f.keys())
+    sp = str(tmp_path / "synthetic_splits_overfit.json")
+    write_splits([{"train_keys": keys, "test_keys": keys}], sp)
+    args = dict(
+        model=model,
+        datasets=str(synth_h5),
+        splits_files=sp,
+        epochs=3,
+        test_every_epochs=2,
+        log_dir=str(tmp_path / f"logs_{model}"),
+        tensorboard=False,
+        log_level="warning",
+        extra_params=extra,
+    )
+    args.update(over)
+    return HParameters().load_from_args(args), sp
+
+
+def test_logistic_overfits(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, sp = _mk_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, epochs=25, lr=1e-3
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert corr > 0.3, f"logistic failed to overfit: corr={corr}"
+    assert 0.0 <= avg_f1 <= max_f1 <= 1.0
+    # predictions h5 layout parity (models/__init__.py:149-177)
+    with h5py.File(hps.pred_path[sp]) as f:
+        grp = f[os.path.basename(str(synth_h5))]
+        k = list(grp.keys())[0]
+        assert set(grp[k].keys()) == {
+            "scores",
+            "user_summary",
+            "machine_summary",
+            "machine_scores",
+        }
+
+
+def test_vasnet_trains(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64, "local": 16}, epochs=2
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
+def test_dsn_trains(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "dsn", {"input_size": 64, "num_episodes": 2}, epochs=2
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
+def test_sumgan_trains(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path,
+        synth_h5,
+        "sumgan",
+        {
+            "input_size": 64,
+            "sLSTM_hidden_size": 16,
+            "edLSTM_hidden_size": 24,
+            "cLSTM_hidden_size": 16,
+            "pretrain_vae": 1,
+        },
+        epochs=2,
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
+def test_sumgan_att_trains(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path,
+        synth_h5,
+        "sumgan_att",
+        {"input_size": 64, "cLSTM_hidden_size": 16, "pretrain_ae": 1},
+        epochs=2,
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
+def test_data_parallel_supervised(tmp_path, synth_h5):
+    """batch_size=4 sharded over dp=4 on the virtual mesh."""
+    import jax
+
+    assert len(jax.devices()) >= 4
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path,
+        synth_h5,
+        "logistic",
+        {"input_size": 64},
+        epochs=4,
+        batch_size=4,
+        data_parallel=4,
+        lr=1e-3,
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
+def test_train_cli(tmp_path, synth_h5):
+    from summarizer_tpu.cli.train import main
+
+    with h5py.File(synth_h5) as f:
+        keys = list(f.keys())
+    sp = str(tmp_path / "synthetic_splits_cli.json")
+    write_splits([{"train_keys": keys[:4], "test_keys": keys[4:]}], sp)
+    results = main(
+        [
+            "-m", "logistic", "-e", "2", "-s", sp,
+            "--datasets", str(synth_h5),
+            "--log-dir", str(tmp_path / "logs_cli"),
+            "--no-tensorboard", "-l", "warning",
+            "--input_size", "64",  # unknown flag -> extra_params
+        ]
+    )
+    assert len(results) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from summarizer_tpu.models import logistic
+    from summarizer_tpu.train.checkpoint import load_params, save_params
+
+    params = logistic.init(jax.random.PRNGKey(0), {"input_size": 32})
+    path = str(tmp_path / "w.ckpt")
+    save_params(path, params)
+    template = logistic.init(jax.random.PRNGKey(1), {"input_size": 32})
+    restored = load_params(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["w"]), np.asarray(restored["head"]["w"])
+    )
+
+
+def test_train_state_resume(tmp_path):
+    import jax
+    import optax
+
+    from summarizer_tpu.models import logistic
+    from summarizer_tpu.train.optim import torch_adam
+    from summarizer_tpu.train.resume import TrainState, load_state, save_state
+
+    params = logistic.init(jax.random.PRNGKey(0), {"input_size": 32})
+    opt = torch_adam(1e-3, 1e-5)
+    state = TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        epoch=7,
+        rng=jax.random.PRNGKey(3),
+        extras={"baselines": np.arange(4.0)},
+    )
+    path = str(tmp_path / "state.ckpt")
+    save_state(path, state)
+    template = TrainState(
+        params=logistic.init(jax.random.PRNGKey(9), {"input_size": 32}),
+        opt_state=opt.init(params),
+        rng=jax.random.PRNGKey(0),
+        extras={"baselines": np.zeros(4)},
+    )
+    restored = load_state(path, template)
+    assert restored.epoch == 7
+    np.testing.assert_array_equal(restored.extras["baselines"], np.arange(4.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["w"]), np.asarray(params["head"]["w"])
+    )
