@@ -37,6 +37,10 @@ DEFAULTS = dict(
     epsilon=1e-6,
     weight_init="xavier",
     dropout=0.5,
+    flash="auto",  # Pallas blockwise attention: "auto" | 1 | 0.  "auto" uses
+    # it whenever attention-dropout is inactive (eval, or dropout=0) — the
+    # kernel streams k/v blocks and, with an aperture, skips out-of-band
+    # blocks entirely (ops/flash_attention.py).
 )
 
 
@@ -79,22 +83,37 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     q = linear(params["Q"], x)
     kk = linear(params["K"], x)
     v = linear(params["V"], x)
-    logits = jnp.einsum("bqd,bkd->bqk", q, kk) * scale
 
     t = x.shape[1]
-    if mask is not None:
-        logits = jnp.where(mask[:, None, :] > 0, logits, _NEG_INF)
-    if hp["ignore_self"]:
-        logits = jnp.where(jnp.eye(t, dtype=bool)[None], _NEG_INF, logits)
-    if hp["local"] is not None:
-        w = int(hp["local"])
-        ij = jnp.arange(t)
-        band = jnp.abs(ij[:, None] - ij[None, :]) <= w
-        logits = jnp.where(band[None], logits, _NEG_INF)
+    aperture = int(hp["local"]) if hp["local"] is not None else None
+    dropout_active = train and rate > 0.0
+    flash = hp.get("flash", "auto")
+    want_flash = True if flash == "auto" else bool(int(flash))
+    if want_flash and not dropout_active:
+        from summarizer_tpu.ops.flash_attention import flash_attention
 
-    alpha = jax.nn.softmax(logits, axis=-1)
-    alpha = dropout(k[0], alpha, rate, train)
-    c = linear(params["out"], jnp.einsum("bqk,bkd->bqd", alpha, v))
+        lengths = (
+            mask.sum(-1).astype(jnp.int32)
+            if mask is not None
+            else jnp.full((x.shape[0],), t, jnp.int32)
+        )
+        ctx = flash_attention(
+            q, kk, v, lengths, float(scale), aperture, bool(hp["ignore_self"])
+        )
+    else:
+        logits = jnp.einsum("bqd,bkd->bqk", q, kk) * scale
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :] > 0, logits, _NEG_INF)
+        if hp["ignore_self"]:
+            logits = jnp.where(jnp.eye(t, dtype=bool)[None], _NEG_INF, logits)
+        if aperture is not None:
+            ij = jnp.arange(t)
+            band = jnp.abs(ij[:, None] - ij[None, :]) <= aperture
+            logits = jnp.where(band[None], logits, _NEG_INF)
+        alpha = jax.nn.softmax(logits, axis=-1)
+        alpha = dropout(k[0], alpha, rate, train)
+        ctx = jnp.einsum("bqk,bkd->bqd", alpha, v)
+    c = linear(params["out"], ctx)
 
     y = layer_norm(params["norm"], dropout(k[1], c + x, rate, train), eps)
     y = layer_norm(params["norm"], dropout(k[2], jax.nn.relu(linear(params["k1"], y)), rate, train), eps)
