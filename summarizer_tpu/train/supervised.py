@@ -12,16 +12,17 @@ the data-parallel path (parallel/data_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
+import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from summarizer_tpu.data.batching import pack_train
 from summarizer_tpu.train.engine import Engine, FoldResult
 from summarizer_tpu.train.optim import torch_adam
+from summarizer_tpu.utils.profiling import StepTimer, trace
 
 
 def masked_mse(scores, targets, mask):
@@ -114,15 +115,39 @@ class SupervisedEngine(Engine):
         )
         eval_fn = self.make_eval_fn(test_keys)
 
+        # Optional mid-run resume (new capability; the reference loses all
+        # progress on a crash, SURVEY.md §5).
+        state_path = getattr(hps, "resume_path", None) or os.path.join(
+            hps.log_path, f"state_fold{fold}.ckpt"
+        )
+        start_epoch = 0
+        if getattr(hps, "resume", False) and os.path.exists(state_path):
+            from summarizer_tpu.train.resume import TrainState, load_state
+
+            st = load_state(
+                state_path, TrainState(params=params, opt_state=opt_state, rng=rng)
+            )
+            params, opt_state, rng = st.params, st.opt_state, jnp.asarray(st.rng)
+            start_epoch = st.epoch
+            self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(records)
-        for epoch in range(int(hps.epochs)):
+        timer = StepTimer("epoch")
+        for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
-            params, opt_state, loss = epoch_fn(
-                params, opt_state, feats, targets, mask, perm, k_ep
+            profiling = bool(getattr(hps, "profile", False)) and epoch == start_epoch
+            ctx = (
+                trace(os.path.join(hps.log_path, "profile"))
+                if profiling
+                else contextlib.nullcontext()
             )
-            loss = float(loss)
+            with ctx, timer:
+                params, opt_state, loss = epoch_fn(
+                    params, opt_state, feats, targets, mask, perm, k_ep
+                )
+                loss = float(loss)  # blocks; keeps the timer honest
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Loss: {loss:.05f}"
             )
@@ -138,5 +163,18 @@ class SupervisedEngine(Engine):
                 if corr > best.best_corr:
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
+                if getattr(hps, "resume", False):
+                    from summarizer_tpu.train.resume import TrainState, save_state
 
+                    save_state(
+                        state_path,
+                        TrainState(params=params, opt_state=opt_state, epoch=epoch + 1, rng=rng),
+                    )
+
+        if timer.times:
+            s = timer.summary()
+            self.log.debug(
+                f"epoch timing: mean {s['mean_s'] * 1e3:.1f} ms  "
+                f"p50 {s['p50_s'] * 1e3:.1f} ms  p95 {s['p95_s'] * 1e3:.1f} ms"
+            )
         return best

@@ -86,6 +86,8 @@ class HParameters:
         self.log_root = "logs"
         self.log_dir = None  # override the timestamped default
         self.profile = False  # capture a jax.profiler trace of one epoch
+        self.resume = False  # save per-epoch train state and resume from it
+        self.resume_path = None  # override the per-fold state path
 
     # ------------------------------------------------------------- load/init
     def load_from_args(self, args: dict):
