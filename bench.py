@@ -19,10 +19,16 @@ baseline.  Extra sub-metrics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: repeated bench runs (and training runs in the
+# same tree) skip recompilation entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 
 def log(*a):

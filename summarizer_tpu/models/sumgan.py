@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from summarizer_tpu.nn.core import linear, linear_init
 from summarizer_tpu.nn.rnn import lstm_apply, lstm_cell_step, lstm_init, masked_reverse
@@ -80,7 +81,7 @@ def dlstm_apply(p, t_max: int, h0, c0, lengths):
         x2, (h2, c2) = lstm_cell_step(p["lstm"], x, h, c)
         return (x2, h2, c2), linear(p["recons"], x2)
 
-    x0 = jnp.zeros((b, hidden), jnp.float32)
+    x0 = jnp.asarray(np.zeros((b, hidden), np.float32))
     _, outs = jax.lax.scan(step, (x0, h0, c0), None, length=t_max)
     outs = jnp.swapaxes(outs, 0, 1)  # (B, T, D)
     return masked_reverse(outs, lengths)
@@ -153,6 +154,6 @@ def apply(params, x, mask, *, rng=None, train=False, hp=None):
     lengths = (
         mask.sum(-1).astype(jnp.int32)
         if mask is not None
-        else jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        else np.full((x.shape[0],), x.shape[1], np.int32)
     )
     return slstm_apply(params["s_lstm"], x, lengths)

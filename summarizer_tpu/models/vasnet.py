@@ -21,11 +21,12 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from summarizer_tpu.models.base import add_pos_embed, pos_embed_init, split_or_none
 from summarizer_tpu.nn.core import dropout, layer_norm, layer_norm_init, linear, linear_init
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = np.float32(-1e30)  # numpy, not jnp: device constants stall lowering
 
 DEFAULTS = dict(
     input_size=1024,
@@ -95,7 +96,7 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
         lengths = (
             mask.sum(-1).astype(jnp.int32)
             if mask is not None
-            else jnp.full((x.shape[0],), t, jnp.int32)
+            else np.full((x.shape[0],), t, np.int32)
         )
         ctx = flash_attention(
             q, kk, v, lengths, float(scale), aperture, bool(hp["ignore_self"])
@@ -105,10 +106,10 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
         if mask is not None:
             logits = jnp.where(mask[:, None, :] > 0, logits, _NEG_INF)
         if hp["ignore_self"]:
-            logits = jnp.where(jnp.eye(t, dtype=bool)[None], _NEG_INF, logits)
+            logits = jnp.where(np.eye(t, dtype=bool)[None], _NEG_INF, logits)
         if aperture is not None:
-            ij = jnp.arange(t)
-            band = jnp.abs(ij[:, None] - ij[None, :]) <= aperture
+            ij = np.arange(t)
+            band = np.abs(ij[:, None] - ij[None, :]) <= aperture
             logits = jnp.where(band[None], logits, _NEG_INF)
         alpha = jax.nn.softmax(logits, axis=-1)
         alpha = dropout(k[0], alpha, rate, train)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from summarizer_tpu.nn.core import (
     dropout,
@@ -23,7 +24,7 @@ from summarizer_tpu.nn.core import (
     xavier_uniform,
 )
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = np.float32(-1e30)  # numpy, not jnp: device constants stall lowering
 
 
 def mha_init(rng, d_model: int, bias: bool = True):
@@ -66,7 +67,7 @@ def mha_apply(
         b_, t_, _ = y.shape
         return y.reshape(b_, t_, n_heads, hd)
 
-    q = heads(query, w_q, b_q) / jnp.sqrt(jnp.float32(hd))
+    q = heads(query, w_q, b_q) * np.float32(1.0 / np.sqrt(hd))
     k = heads(key, w_k, b_k)
     v = heads(value, w_v, b_v)
 

@@ -16,6 +16,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from summarizer_tpu.nn.core import _uniform
 
@@ -23,7 +24,7 @@ from summarizer_tpu.nn.core import _uniform
 def masked_reverse(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Reverse each sequence within its true length. x: (B, T, ...), lengths: (B,)."""
     t = x.shape[1]
-    ts = jnp.arange(t)
+    ts = np.arange(t)
 
     def one(xb, lb):
         idx = jnp.where(ts < lb, lb - 1 - ts, ts)
@@ -81,7 +82,7 @@ def _lstm_layer(p, x, lengths):
         h2 = o * jnp.tanh(c2)
         return (h2, c2), (h2, c2)
 
-    zeros = jnp.zeros((b, hidden), jnp.float32)
+    zeros = jnp.asarray(np.zeros((b, hidden), np.float32))
     _, (hs, cs) = jax.lax.scan(step, (zeros, zeros), jnp.swapaxes(xg, 0, 1))
     hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
     cs = jnp.swapaxes(cs, 0, 1)
@@ -106,7 +107,7 @@ def _gru_layer(p, x, lengths):
         h2 = (1.0 - z) * n + z * h
         return h2, h2
 
-    zeros = jnp.zeros((b, hidden), jnp.float32)
+    zeros = jnp.asarray(np.zeros((b, hidden), np.float32))
     _, hs = jax.lax.scan(step, zeros, jnp.swapaxes(xg, 0, 1))
     hs = jnp.swapaxes(hs, 0, 1)
     last = jnp.clip(lengths - 1, 0, t - 1)
@@ -121,7 +122,7 @@ def _stack_apply(params, x, lengths, layer_fn, carry_state):
     are stacked (num_layers*dirs, B, H) in torch order [l0_f, l0_b, l1_f, ...].
     """
     if lengths is None:
-        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        lengths = np.full((x.shape[0],), x.shape[1], np.int32)
     h_lasts, c_lasts = [], []
     out = x
     for entry in params["layers"]:

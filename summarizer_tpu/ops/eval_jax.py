@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from summarizer_tpu.ops.ranking import spearman_masked
 
@@ -43,9 +44,9 @@ def upsample_step(scores, positions, n_steps, n_frames, out_frames: int):
     n_frames (or before positions[0]) are zero.  Semantics of
     summarizer/utils/eval.py:15-35 under padding.
     """
-    f = jnp.arange(out_frames, dtype=jnp.int32)
+    f = np.arange(out_frames, dtype=np.int32)
     # Push padded positions beyond any frame index so they never match.
-    step_ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    step_ids = np.arange(positions.shape[0], dtype=np.int32)
     pos = jnp.where(step_ids < n_steps, positions, jnp.int32(2**30))
     idx = jnp.searchsorted(pos, f, side="right").astype(jnp.int32) - 1
     valid = (idx >= 0) & (idx < n_steps) & (f < n_frames)
@@ -55,22 +56,22 @@ def upsample_step(scores, positions, n_steps, n_frames, out_frames: int):
 def eval_scores_video(frame_scores, user_scores, n_users, n_frames):
     """Mean Spearman rho of machine frame scores vs each annotator
     (ref: models/__init__.py:60-86)."""
-    fmask = jnp.arange(frame_scores.shape[0]) < n_frames
+    fmask = np.arange(frame_scores.shape[0]) < n_frames
     rhos = jax.vmap(lambda u: spearman_masked(frame_scores, u, fmask))(user_scores)
-    umask = jnp.arange(user_scores.shape[0]) < n_users
+    umask = np.arange(user_scores.shape[0]) < n_users
     return jnp.sum(jnp.where(umask, rhos, 0.0)) / jnp.maximum(n_users, 1)
 
 
 def segment_means(frame_scores, cps, n_segs):
     """Per-segment mean of frame scores over inclusive [start, end] bounds
     (ref: summarizer/utils/eval.py:90-94)."""
-    csum = jnp.concatenate([jnp.zeros(1, frame_scores.dtype), jnp.cumsum(frame_scores)])
+    csum = jnp.concatenate([np.zeros(1, np.float32), jnp.cumsum(frame_scores)])
     start = cps[:, 0]
     end1 = cps[:, 1] + 1
     tot = csum[end1] - csum[start]
     cnt = jnp.maximum(end1 - start, 1).astype(frame_scores.dtype)
     means = tot / cnt
-    return jnp.where(jnp.arange(cps.shape[0]) < n_segs, means, 0.0)
+    return jnp.where(np.arange(cps.shape[0]) < n_segs, means, 0.0)
 
 
 def knapsack_picks(values_int, weights, n_items, capacity, max_capacity: int):
@@ -83,7 +84,7 @@ def knapsack_picks(values_int, weights, n_items, capacity, max_capacity: int):
     (floor(0.15 * n_frames), summarizer/utils/eval.py:96-99).
     """
     C = max_capacity
-    cap_axis = jnp.arange(C + 1, dtype=jnp.int32)
+    cap_axis = np.arange(C + 1, dtype=np.int32)
 
     def item_step(dp, inp):
         v, w, valid = inp
@@ -92,9 +93,9 @@ def knapsack_picks(values_int, weights, n_items, capacity, max_capacity: int):
         better = (src >= 0) & (cand > dp) & valid & (w > 0)
         return jnp.where(better, cand, dp), better
 
-    n_ids = jnp.arange(values_int.shape[0], dtype=jnp.int32)
+    n_ids = np.arange(values_int.shape[0], dtype=np.int32)
     valid_items = n_ids < n_items
-    dp0 = jnp.zeros(C + 1, jnp.int32)
+    dp0 = jnp.asarray(np.zeros(C + 1, np.int32))
     _, keep = jax.lax.scan(
         item_step, dp0, (values_int.astype(jnp.int32), weights.astype(jnp.int32), valid_items)
     )
@@ -117,7 +118,7 @@ def rank_greedy_picks(seg_scores, weights, n_items, capacity):
     ``total + w < limit`` test and skip-not-stop behavior
     (summarizer/utils/eval.py:102-109)."""
     g = seg_scores.shape[0]
-    valid = jnp.arange(g) < n_items
+    valid = np.arange(g) < n_items
     key = jnp.where(valid, seg_scores, -jnp.inf)
     # The reference orders with np.argsort(x)[::-1] (eval.py:103): a reversed
     # stable ascending sort, so tied scores are visited highest-index first.
@@ -129,7 +130,7 @@ def rank_greedy_picks(seg_scores, weights, n_items, capacity):
         return total + jnp.where(ok, w, 0), ok
 
     _, picked_sorted = jax.lax.scan(step, jnp.int32(0), order)
-    return jnp.zeros(g, bool).at[order].set(picked_sorted)
+    return jnp.asarray(np.zeros(g, bool)).at[order].set(picked_sorted)
 
 
 def summary_from_picks(picks, nfps, n_segs, out_frames: int):
@@ -140,9 +141,9 @@ def summary_from_picks(picks, nfps, n_segs, out_frames: int):
     lengths.  Frames beyond sum(nfps) are zero (evaluate_summary pads/clips
     anyway, eval.py:139-145).
     """
-    nf = jnp.where(jnp.arange(nfps.shape[0]) < n_segs, nfps, 0)
+    nf = jnp.where(np.arange(nfps.shape[0]) < n_segs, nfps, 0)
     bounds = jnp.cumsum(nf)  # (G,) exclusive upper bound per segment
-    f = jnp.arange(out_frames, dtype=jnp.int32)
+    f = np.arange(out_frames, dtype=np.int32)
     seg = jnp.searchsorted(bounds, f, side="right").astype(jnp.int32)
     in_range = f < bounds[-1] if nfps.shape[0] > 0 else jnp.zeros_like(f, bool)
     return jnp.where(
@@ -153,14 +154,14 @@ def summary_from_picks(picks, nfps, n_segs, out_frames: int):
 def eval_summary_video(machine_summary, user_summary, n_users, n_frames):
     """(avg F1, max F1) over annotators for one video
     (ref: summarizer/utils/eval.py:125-166)."""
-    fmask = (jnp.arange(machine_summary.shape[0]) < n_frames).astype(jnp.float32)
+    fmask = (np.arange(machine_summary.shape[0]) < n_frames).astype(jnp.float32)
     m = (machine_summary > 0).astype(jnp.float32) * fmask
     u = (user_summary > 0).astype(jnp.float32) * fmask[None, :]
     overlap = (u * m[None, :]).sum(-1)
     prec = overlap / (m.sum() + 1e-8)
     rec = overlap / (u.sum(-1) + 1e-8)
     f1 = jnp.where((prec == 0) & (rec == 0), 0.0, 2 * prec * rec / (prec + rec))
-    umask = jnp.arange(user_summary.shape[0]) < n_users
+    umask = np.arange(user_summary.shape[0]) < n_users
     avg = jnp.sum(jnp.where(umask, f1, 0.0)) / jnp.maximum(n_users, 1)
     mx = jnp.max(jnp.where(umask, f1, -jnp.inf))
     return avg, mx

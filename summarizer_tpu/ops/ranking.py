@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # numpy, not jnp: device constants stall lowering over the TPU tunnel
 
 
 def rankdata_masked(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -27,13 +28,13 @@ def rankdata_masked(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     order = jnp.argsort(key)  # stable
     sx = key[order]
     # Group equal values: boundaries where the sorted value changes.
-    newgrp = jnp.concatenate([jnp.ones(1, bool), sx[1:] != sx[:-1]])
+    newgrp = jnp.concatenate([np.ones(1, bool), sx[1:] != sx[:-1]])
     gid = jnp.cumsum(newgrp) - 1  # (n,) group id per sorted slot
-    pos = jnp.arange(n, dtype=jnp.float32)
+    pos = np.arange(n, dtype=np.float32)
     first = jax.ops.segment_min(pos, gid, num_segments=n)
     last = jax.ops.segment_max(pos, gid, num_segments=n)
     rank_sorted = 0.5 * (first[gid] + last[gid]) + 1.0
-    return jnp.zeros(n, jnp.float32).at[order].set(rank_sorted)
+    return jnp.asarray(np.zeros(n, np.float32)).at[order].set(rank_sorted)
 
 
 def pearson_masked(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -51,10 +51,10 @@ def compute_reward(x, actions, mask, far_sim: bool, temp_dist_thre: int):
     dissim = 1.0 - normed @ normed.T
     if not far_sim:
         t = x.shape[0]
-        ij = jnp.arange(t)
-        far = jnp.abs(ij[:, None] - ij[None, :]) > temp_dist_thre
+        ij = np.arange(t)
+        far = np.abs(ij[:, None] - ij[None, :]) > temp_dist_thre
         dissim = jnp.where(far, 1.0, dissim)
-    pair_w = picks[:, None] * picks[None, :] * (1.0 - jnp.eye(x.shape[0]))
+    pair_w = picks[:, None] * picks[None, :] * (1.0 - np.eye(x.shape[0], dtype=np.float32))
     r_div = jnp.where(
         n_picks > 1, (dissim * pair_w).sum() / jnp.maximum(n_picks * (n_picks - 1.0), 1.0), 0.0
     )
