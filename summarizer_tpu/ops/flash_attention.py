@@ -97,7 +97,7 @@ def _fwd_kernel(
         ) * scale  # (BQ, BK)
         rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = _mask_for(rows, cols, len_ref[0], aperture, ignore_self)
+        mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]
@@ -115,7 +115,7 @@ def _fwd_kernel(
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0] = jnp.where(l > 0, acc_scr[:] / safe, 0.0)
-        lse_ref[0] = jnp.where(l[:, 0] > 0, m_scr[:, 0] + jnp.log(safe[:, 0]), NEG_INF)
+        lse_ref[0] = jnp.where(l > 0, m_scr[:] + jnp.log(safe), NEG_INF)
 
 
 # ------------------------------------------------------------------ backward
@@ -148,8 +148,8 @@ def _bwd_kv_kernel(
         ) * scale  # (BQ, BK)
         rows = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = _mask_for(rows, cols, len_ref[0], aperture, ignore_self)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         do = do_ref[0]
         dv_scr[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -157,7 +157,7 @@ def _bwd_kv_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta_ref[0][:, None]) * scale
+        ds = p * (dp - delta_ref[0]) * scale
         dk_scr[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -195,13 +195,13 @@ def _bwd_q_kernel(
         ) * scale
         rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = _mask_for(rows, cols, len_ref[0], aperture, ignore_self)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_ref[0][:, None]) * scale
+        ds = p * (dp - delta_ref[0]) * scale
         dq_scr[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
@@ -234,7 +234,10 @@ def _k_index_map(block_q, block_k, aperture, nk_total):
 def _q_index_map(block_q, block_k, aperture, nq_total):
     """q-side index maps for the dkv kernel's banded q grid axis."""
     if aperture is None:
-        return lambda bi, ki, qi: (bi, qi, 0), lambda bi, ki, qi: (bi, qi)
+        return (
+            lambda bi, ki, qi: (bi, qi, 0),
+            lambda bi, ki, qi: (bi, qi, 0),
+        )
 
     def imap3(bi, ki, qi):
         qb = _first_qb(ki, block_q, block_k, aperture) + qi
@@ -242,7 +245,7 @@ def _q_index_map(block_q, block_k, aperture, nq_total):
 
     def imap2(bi, ki, qi):
         qb = _first_qb(ki, block_q, block_k, aperture) + qi
-        return (bi, jnp.minimum(qb, nq_total - 1))
+        return (bi, jnp.minimum(qb, nq_total - 1), 0)
 
     return imap3, imap2
 
@@ -288,30 +291,32 @@ def _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
         kernel,
         grid=(b, nq, nk_grid),
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, qi, ki: (bi,), memory_space=pltpu.SMEM),
+            # per-video true length, shaped (B, 1, 1) so its (1, 1, 1) block
+            # satisfies TPU tiling (trailing dims equal the array dims).
+            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, block_k, d), kmap),
             pl.BlockSpec((1, block_k, d), kmap),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            pl.BlockSpec((1, block_q, 1), lambda bi, qi, ki: (bi, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lengths.astype(jnp.int32), qp, kp, vp)
-    return out[:, :t], (q, k, v, lengths, out[:, :t], lse[:, :t])
+    )(lengths.astype(jnp.int32).reshape(-1, 1, 1), qp, kp, vp)
+    return out[:, :t], (q, k, v, lengths, out[:, :t], lse[:, :t, 0])
 
 
 def _fwd_rule(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
@@ -327,10 +332,10 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
     blk = max(block_q, block_k)
     t_pad = ((t + blk - 1) // blk) * blk
     qp, kp, vp, gp = (_pad_to(x, t_pad, 1) for x in (q, k, v, g))
-    lsep = _pad_to(lse, t_pad, 1)
-    deltap = _pad_to(delta, t_pad, 1)
+    lsep = _pad_to(lse, t_pad, 1)[..., None]  # (B, t_pad, 1)
+    deltap = _pad_to(delta, t_pad, 1)[..., None]
     nq, nk = t_pad // block_q, t_pad // block_k
-    lens = lengths.astype(jnp.int32)
+    lens = lengths.astype(jnp.int32).reshape(-1, 1, 1)
 
     nq_grid = nq if aperture is None else min(nq, _n_band_blocks(block_k, block_q, aperture))
     qmap3, qmap2 = _q_index_map(block_q, block_k, aperture, nq)
@@ -342,28 +347,28 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
         ),
         grid=(b, nk, nq_grid),
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, ki, qi: (bi,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), qmap3),
             pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0)),
             pl.BlockSpec((1, block_q, d), qmap3),
-            pl.BlockSpec((1, block_q), qmap2),
-            pl.BlockSpec((1, block_q), qmap2),
+            pl.BlockSpec((1, block_q, 1), qmap2),
+            pl.BlockSpec((1, block_q, 1), qmap2),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
     )(lens, qp, kp, vp, gp, lsep, deltap)
@@ -378,19 +383,19 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
         ),
         grid=(b, nq, nk_grid),
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, qi, ki: (bi,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, block_k, d), kmap),
             pl.BlockSpec((1, block_k, d), kmap),
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, qi, ki: (bi, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
     )(lens, qp, kp, vp, gp, lsep, deltap)

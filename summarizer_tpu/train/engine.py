@@ -40,6 +40,14 @@ class Engine:
         self.hp = dict(hps.extra_params or {})
         self.log = hps.logger
         self.writer = hps.writer
+        # Dataset-global paddings: every fold of a CV run shares the same
+        # static shapes, so XLA compiles each program once per (model,
+        # dataset) instead of once per fold.
+        all_records = list(dataset.videos.values())
+        from summarizer_tpu.data.batching import round_up
+
+        self.t_max = round_up(max(r.n_steps for r in all_records), 8)
+        self.eval_dims = eval_static_dims(all_records, float(hps.summary_proportion))
 
     # ------------------------------------------------------------------ eval
     def make_eval_fn(self, keys: list[str]):
@@ -48,7 +56,7 @@ class Engine:
         records = self.dataset.subset(keys)
         prop = float(self.hps.summary_proportion)
         method = str(self.hps.selection_algorithm)
-        s, g, u, f, cap = eval_static_dims(records, prop)
+        s, g, u, f, cap = self.eval_dims
         batch, feats = pack_eval(records, s, g, u, f)
         batch = jax.device_put(batch)
         feats = jax.device_put(feats)

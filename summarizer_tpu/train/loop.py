@@ -58,20 +58,21 @@ def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
         return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
 
     os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
+    # One padded shape for every chunk -> one compiled forward program.
+    s = engine.t_max
+    d = next(iter(dataset.videos.values())).features.shape[1]
     with h5py.File(pred_path, "w") as f:
         g = f.create_group(os.path.basename(dataset.path))
         rng = jax.random.PRNGKey(int(hps.seed))
         for lo in range(0, len(keys), chunk):
             batch_keys = keys[lo : lo + chunk]
             records = dataset.subset(batch_keys)
-            s = max(r.n_steps for r in records)
-            d = records[0].features.shape[1]
-            feats = np.zeros((len(records), s, d), np.float32)
+            feats = np.zeros((chunk, s, d), np.float32)
             for i, r in enumerate(records):
                 feats[i, : r.n_steps] = r.features
-            mask = (
-                np.arange(s)[None, :] < np.array([r.n_steps for r in records])[:, None]
-            ).astype(np.float32)
+            lens = np.zeros(chunk, np.int64)
+            lens[: len(records)] = [r.n_steps for r in records]
+            mask = (np.arange(s)[None, :] < lens[:, None]).astype(np.float32)
             rng, k = jax.random.split(rng)
             scores = np.asarray(forward(params, feats, mask, k))
             for i, r in enumerate(records):

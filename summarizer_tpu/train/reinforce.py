@@ -149,7 +149,7 @@ class ReinforceEngine(Engine):
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
 
-        pack = pack_train(self.dataset.subset(train_keys))
+        pack = pack_train(self.dataset.subset(train_keys), t_max=self.t_max)
         feats = jax.device_put(pack.features)
         targets = jax.device_put(pack.targets)
         mask = jax.device_put(pack.mask)

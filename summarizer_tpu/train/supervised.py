@@ -93,7 +93,7 @@ class SupervisedEngine(Engine):
         self.draw_gtscores(fold, train_keys)
 
         records = self.dataset.subset(train_keys)
-        pack = pack_train(records)
+        pack = pack_train(records, t_max=self.t_max)
         feats = jax.device_put(pack.features)
         targets = jax.device_put(pack.targets)
         mask = jax.device_put(pack.mask)
