@@ -22,9 +22,20 @@ def main(argv=None):
 
         from summarizer_tpu.data.synthetic import write_synthetic_dataset
 
-        for name, n, users in (("summe", 25, 15), ("tvsum", args.videos, 20)):
+        # (name, videos, users, min/max feature steps). LOL mimics the real
+        # dataset's shape: a single annotator and much longer videos
+        # (Twitch-LOL, datasets/README.md; Summarizer.pdf §2.2).
+        configs = (
+            ("summe", 25, 15, 100, 650),
+            ("tvsum", args.videos, 20, 100, 650),
+            ("LOL", 60, 1, 800, 3200),
+        )
+        for name, n, users, lo, hi in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
-            write_synthetic_dataset(path, n_videos=n, seed=hash(name) % 2**31, n_users=users, name=name)
+            write_synthetic_dataset(
+                path, n_videos=n, seed=hash(name) % 2**31, n_users=users,
+                min_steps=lo, max_steps=hi, name=name,
+            )
             print(f"synthetic -> {path}")
         return
 

@@ -1,7 +1,7 @@
 """Adversarial engines: SumGAN (VAE-GAN) and SumGAN-att (WGAN).
 
 Ref: summarizer/models/sumgan.py:260-533 and sumgan_att.py:149-409.  Each
-video takes a 3-phase update — (1) selector+encoder, (2) decoder, (3)
+update takes a 3-phase step — (1) selector+encoder, (2) decoder, (3)
 discriminator — each phase re-running the needed forwards with fresh noise
 and stepping its own Adam.  Faithful torch details reproduced:
 
@@ -16,8 +16,16 @@ and stepping its own Adam.  Faithful torch details reproduced:
   - Label smoothing 0.9/0.1 for SumGAN; Wasserstein means for SumGAN-att.
   - SumGAN-att's ``sup`` defaults to True (sumgan_att.py:155).
 
-The epoch is one ``lax.scan`` over shuffled padded videos carrying the
-params and all three optimizer states.
+TPU shape.  Batch-1 recurrent updates are HBM-bound: every LSTM timestep
+re-streams the full weight matrices (~128 MB/step for the 2048-wide VAE), so
+one video costs seconds regardless of FLOPs.  Two engine knobs address it:
+
+  - ``batch_size`` (default 1 = exact reference dynamics): videos per
+    3-phase update.  Grouping B videos amortizes the weight streaming B-fold;
+    per-video loss terms are averaged (documented dynamics change).
+  - ``scan_chunk`` (default 8): update groups per compiled program
+    execution, bounding single-device-execution time (large folds, and the
+    remote-TPU execution watchdog) at one dispatch per chunk.
 """
 
 from __future__ import annotations
@@ -67,25 +75,49 @@ def masked_adam(lr, weight_decay, mask, clip_norm=5.0):
     )
 
 
-def l2_norm_masked(a, b, mask=None):
-    """torch.norm(a - b) (frobenius) restricted to valid positions."""
+def l2_norm_rows(a, b, mask=None):
+    """Mean over the batch of per-video frobenius norms ||a_i - b_i||.
+    Equals torch.norm(a - b) exactly at batch 1 (sumgan.py:292-294)."""
     d = a - b
     if mask is not None:
         d = d * mask[..., None]
-    return jnp.sqrt(jnp.maximum((d * d).sum(), 1e-24))
+    if d.ndim == 2:  # (B, H) discriminator embeddings
+        per = (d * d).sum(-1)
+    else:  # (B, T, D) sequences
+        per = (d * d).reshape(d.shape[0], -1).sum(-1)
+    return jnp.sqrt(jnp.maximum(per, 1e-24)).mean()
 
 
 def kl_prior(mu, logvar):
-    """-0.5 * sum(1 + logvar - mu^2 - exp(logvar)) (sumgan.py:296-298)."""
-    return -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar))
+    """-0.5 * sum(1 + logvar - mu^2 - exp(logvar)) per video, batch-averaged
+    (sumgan.py:296-298; exact at batch 1).  mu/logvar: (L, B, H)."""
+    kl = -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar), axis=(0, 2))
+    return kl.mean()
 
 
-def masked_mean(v, mask):
-    return (v * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+def masked_mean_rows(v, mask):
+    """(B,) per-video masked means."""
+    return (v * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+
+
+def _perm_chunks(perm, chunk):
+    """Split the epoch's group sequence into device-execution-sized chunks
+    (the tail chunk is smaller; it costs one extra compile)."""
+    n = perm.shape[0]
+    body = n - n % chunk
+    for lo in range(0, body, chunk):
+        yield perm[lo : lo + chunk]
+    if n % chunk:
+        yield perm[body:]
 
 
 class _AdversarialBase(Engine):
     """Shared fold loop; subclasses provide _cfg, phase losses, pretrain."""
+
+    def _sizes(self, n):
+        bs = max(1, min(int(self.hp.get("batch_size", self.hps.batch_size)), n))
+        chunk = max(1, int(self.hp.get("scan_chunk", 8)))
+        return bs, chunk
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
@@ -103,7 +135,6 @@ class _AdversarialBase(Engine):
         rng, k_init = jax.random.split(rng)
         params = self.init_params(k_init)
 
-        # Pretrain (VAE / AE)
         if cfg["pretrain_epochs"] > 0:
             rng, k_pre = jax.random.split(rng)
             params = self.pretrain(params, feats, targets, mask, cfg, k_pre)
@@ -114,14 +145,24 @@ class _AdversarialBase(Engine):
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(train_keys)
+        bs, chunk = self._sizes(n)
         epoch_noise = cfg["epoch_noise"]
         for epoch in range(int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
-            params, opt_states, stats = epoch_fn(
-                params, opt_states, feats, targets, mask, perm, k_ep, epoch < epoch_noise
-            )
-            lse, ld, lc, dx, dxh, dxhp = (float(s) for s in stats)
+            groups = perm[: (n // bs) * bs].reshape(-1, bs)
+            acc, count = None, 0
+            for sel in _perm_chunks(groups, chunk):
+                k_ep, k_c = jax.random.split(k_ep)
+                params, opt_states, stats = epoch_fn(
+                    params, opt_states, feats, targets, mask, sel, k_c,
+                    epoch < epoch_noise,
+                )
+                w = sel.shape[0]
+                s = [float(v) * w for v in stats]
+                acc = s if acc is None else [a + b for a, b in zip(acc, s)]
+                count += w
+            lse, ld, lc, dx, dxh, dxhp = (v / max(count, 1) for v in acc)
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Lse: {lse:.05f}  "
                 f"Ld: {ld:.05f}  Lc: {lc:.05f}  D(x): {dx:.05f}  "
@@ -145,18 +186,86 @@ class _AdversarialBase(Engine):
                     best.best_params = jax.device_get(params)
         return best
 
-    # subclass hooks -------------------------------------------------------
-    def _cfg(self) -> dict:
-        raise NotImplementedError
+    def _run_pretrain(self, params, feats, mask, cfg, rng, opt, opt_state, loss_fn, tag):
+        """Shared chunked pretrain loop over video groups."""
 
-    def make_optimizers(self, params, cfg):
-        raise NotImplementedError
+        def group_step(carry, inp):
+            p, s = carry
+            sel, key = inp
+            loss, grads = jax.value_and_grad(loss_fn)(p, feats[sel], mask[sel], key)
+            upd, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, upd), s), loss
 
-    def make_epoch_fn(self, opts, cfg):
-        raise NotImplementedError
+        @jax.jit
+        def pre_chunk(p, s, sel, key):
+            xs = (sel, jax.random.split(key, sel.shape[0]))
+            (p, s), losses = jax.lax.scan(group_step, (p, s), xs)
+            return p, s, losses.mean()
 
-    def pretrain(self, params, feats, targets, mask, cfg, rng):
-        raise NotImplementedError
+        n = feats.shape[0]
+        bs, chunk = self._sizes(n)
+        for epoch in range(cfg["pretrain_epochs"]):
+            rng, k_perm, k_ep = jax.random.split(rng, 3)
+            perm = jax.random.permutation(k_perm, n)
+            groups = perm[: (n // bs) * bs].reshape(-1, bs)
+            total, count = 0.0, 0
+            for sel in _perm_chunks(groups, chunk):
+                k_ep, k_c = jax.random.split(k_ep)
+                params, opt_state, loss = pre_chunk(params, opt_state, sel, k_c)
+                total += float(loss) * sel.shape[0]
+                count += sel.shape[0]
+            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
+                self.log.info(
+                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   "
+                    f"{tag}: {total / max(count, 1):.05f}"
+                )
+        return params
+
+    def _make_epoch(self, phase_losses, opts):
+        """Build the chunked 3-phase epoch program.  ``phase_losses`` are
+        (loss_se(p, x, y, m, key), loss_d(p, x, m, key),
+        loss_c(p, x, m, key, noise)); each phase re-draws its own noise.
+        The video gather happens inside the traced program so the packed
+        tensors stay ordinary jit arguments."""
+        opt_se, opt_d, opt_c = opts
+        loss_se, loss_d, loss_c = phase_losses
+
+        @jax.jit
+        def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
+            def group_step(carry, inp):
+                params, (s_se, s_d, s_c) = carry
+                sel, key, nz = inp
+                x, y, m = feats[sel], targets[sel], mask[sel]
+                k1, k2, k3 = jax.random.split(key, 3)
+
+                lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
+                upd, s_se = opt_se.update(g, s_se, params)
+                params = optax.apply_updates(params, upd)
+
+                ld, g = jax.value_and_grad(loss_d)(params, x, m, k2)
+                upd, s_d = opt_d.update(g, s_d, params)
+                params = optax.apply_updates(params, upd)
+
+                (lc, probs), g = jax.value_and_grad(loss_c, has_aux=True)(
+                    params, x, m, k3, nz
+                )
+                upd, s_c = opt_c.update(g, s_c, params)
+                params = optax.apply_updates(params, upd)
+
+                return (params, (s_se, s_d, s_c)), (lse, ld, lc, *probs)
+
+            g = sel_groups.shape[0]
+            xs = (
+                sel_groups,
+                jax.random.split(rng, g),
+                jnp.full((g,), noise, bool),
+            )
+            (params, opt_states), stats = jax.lax.scan(
+                group_step, (params, opt_states), xs
+            )
+            return params, opt_states, tuple(s.mean() for s in stats)
+
+        return epoch_chunk
 
 
 # ======================================================================= SumGAN
@@ -184,50 +293,28 @@ class SumGANEngine(_AdversarialBase):
         lr, wd = float(self.hps.lr), float(self.hps.weight_decay)
         m_vae = path_mask(params, [("e_lstm",), ("d_lstm",)])
         opt = masked_adam(lr, wd, m_vae)
-        opt_state = opt.init(params)
 
         def loss_fn(p, x, m, key):
             lengths = m.sum(-1).astype(jnp.int32)
             x_hat, (mu, logvar) = sg.vae_forward(p, x, lengths, key)
-            return l2_norm_masked(x, x_hat, m) + kl_prior(mu, logvar)
+            return l2_norm_rows(x, x_hat, m) + kl_prior(mu, logvar)
 
-        def video_step(carry, inp):
-            p, s = carry
-            x, m, key = inp
-            loss, grads = jax.value_and_grad(loss_fn)(p, x[None], m[None], key)
-            upd, s = opt.update(grads, s, p)
-            return (optax.apply_updates(p, upd), s), loss
-
-        @jax.jit
-        def pre_epoch(p, s, feats, mask, perm, key):
-            xs = (feats[perm], mask[perm], jax.random.split(key, perm.shape[0]))
-            (p, s), losses = jax.lax.scan(video_step, (p, s), xs)
-            return p, s, losses.mean()
-
-        n = feats.shape[0]
-        for epoch in range(cfg["pretrain_epochs"]):
-            rng, k_perm, k_ep = jax.random.split(rng, 3)
-            perm = jax.random.permutation(k_perm, n)
-            params, opt_state, loss = pre_epoch(params, opt_state, feats, mask, perm, k_ep)
-            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
-                self.log.info(
-                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   Lvae: {float(loss):.05f}"
-                )
-        return params
+        return self._run_pretrain(
+            params, feats, mask, cfg, rng, opt, opt.init(params), loss_fn, "Lvae"
+        )
 
     def make_epoch_fn(self, opts, cfg):
-        opt_se, opt_d, opt_c = opts
         sigma, sup = cfg["sigma"], cfg["sup"]
 
         def loss_se(p, x, y, m, key):
             x_hat, (mu, logvar), scores = sg.summarizer_forward(p, x, m, key)
             _, h_real = sg.discriminate(p, x, m)
             _, h_fake = sg.discriminate(p, x_hat, m)
-            recons = l2_norm_masked(h_real, h_fake)
+            recons = l2_norm_rows(h_real, h_fake)
             prior = kl_prior(mu, logvar)
             sparsity = (
                 bce_masked(scores, y, m) if sup
-                else jnp.abs(masked_mean(scores, m) - sigma)
+                else jnp.abs(masked_mean_rows(scores, m) - sigma).mean()
             )
             return recons + prior + sparsity
 
@@ -238,7 +325,7 @@ class SumGANEngine(_AdversarialBase):
             _, h_real = sg.discriminate(p, x, m)
             probs_fake, h_fake = sg.discriminate(p, x_hat, m)
             probs_uniform, _ = sg.discriminate(p, x_hat_p, m)
-            recons = l2_norm_masked(h_real, h_fake)
+            recons = l2_norm_rows(h_real, h_fake)
             ones = jnp.ones_like(probs_fake)
             gan = bce_masked(probs_fake, 0.9 * ones, ones) + bce_masked(
                 probs_uniform, 0.9 * ones, ones
@@ -263,44 +350,7 @@ class SumGANEngine(_AdversarialBase):
             )
             return loss, (pr.mean(), pf.mean(), pu.mean())
 
-        def video_step(carry, inp):
-            params, (s_se, s_d, s_c) = carry
-            x, y, m, key, noise = inp
-            x, y, m = x[None], y[None], m[None]
-            k1, k2, k3 = jax.random.split(key, 3)
-
-            lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
-            upd, s_se = opt_se.update(g, s_se, params)
-            params = optax.apply_updates(params, upd)
-
-            ld, g = jax.value_and_grad(loss_d)(params, x, m, k2)
-            upd, s_d = opt_d.update(g, s_d, params)
-            params = optax.apply_updates(params, upd)
-
-            (lc, probs), g = jax.value_and_grad(loss_c, has_aux=True)(
-                params, x, m, k3, noise
-            )
-            upd, s_c = opt_c.update(g, s_c, params)
-            params = optax.apply_updates(params, upd)
-
-            return (params, (s_se, s_d, s_c)), (lse, ld, lc, *probs)
-
-        @jax.jit
-        def epoch(params, opt_states, feats, targets, mask, perm, rng, noise):
-            n = perm.shape[0]
-            xs = (
-                feats[perm],
-                targets[perm],
-                mask[perm],
-                jax.random.split(rng, n),
-                jnp.full((n,), noise, bool),
-            )
-            (params, opt_states), stats = jax.lax.scan(
-                video_step, (params, opt_states), xs
-            )
-            return params, opt_states, tuple(s.mean() for s in stats)
-
-        return epoch
+        return self._make_epoch((loss_se, loss_d, loss_c), opts)
 
 
 # ================================================================== SumGAN-att
@@ -328,39 +378,17 @@ class SumGANAttEngine(_AdversarialBase):
         hp = self.hp
         m_ae = path_mask(params, [("ae",)])
         opt = masked_adam(lr, wd, m_ae)
-        opt_state = opt.init(params)
         heads = int(hp.get("ae_attention_heads", 4))
 
         def loss_fn(p, x, m, key):
             x_hat = sga.ae_apply(p["ae"], x, m, heads, key, True)
-            return l2_norm_masked(x, x_hat, m)
+            return l2_norm_rows(x, x_hat, m)
 
-        def video_step(carry, inp):
-            p, s = carry
-            x, m, key = inp
-            loss, grads = jax.value_and_grad(loss_fn)(p, x[None], m[None], key)
-            upd, s = opt.update(grads, s, p)
-            return (optax.apply_updates(p, upd), s), loss
-
-        @jax.jit
-        def pre_epoch(p, s, feats, mask, perm, key):
-            xs = (feats[perm], mask[perm], jax.random.split(key, perm.shape[0]))
-            (p, s), losses = jax.lax.scan(video_step, (p, s), xs)
-            return p, s, losses.mean()
-
-        n = feats.shape[0]
-        for epoch in range(cfg["pretrain_epochs"]):
-            rng, k_perm, k_ep = jax.random.split(rng, 3)
-            perm = jax.random.permutation(k_perm, n)
-            params, opt_state, loss = pre_epoch(params, opt_state, feats, mask, perm, k_ep)
-            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
-                self.log.info(
-                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   Lae: {float(loss):.05f}"
-                )
-        return params
+        return self._run_pretrain(
+            params, feats, mask, cfg, rng, opt, opt.init(params), loss_fn, "Lae"
+        )
 
     def make_epoch_fn(self, opts, cfg):
-        opt_se, opt_d, opt_c = opts
         sup = cfg["sup"]
         hp = self.hp
 
@@ -368,7 +396,7 @@ class SumGANAttEngine(_AdversarialBase):
             x_hat, scores = sga.summarizer_forward(p, x, m, key, hp)
             _, h_real = sga.discriminate(p, x, m)
             _, h_fake = sga.discriminate(p, x_hat, m)
-            recons = l2_norm_masked(h_real, h_fake)
+            recons = l2_norm_rows(h_real, h_fake)
             sparsity = bce_masked(scores, y, m) if sup else 0.0
             return recons + sparsity
 
@@ -379,7 +407,7 @@ class SumGANAttEngine(_AdversarialBase):
             _, h_real = sga.discriminate(p, x, m)
             pf, h_fake = sga.discriminate(p, x_hat, m)
             pu, _ = sga.discriminate(p, x_hat_p, m)
-            recons = l2_norm_masked(h_real, h_fake)
+            recons = l2_norm_rows(h_real, h_fake)
             gan = jnp.mean(-0.5 * (pf + pu))  # WGAN generator (sumgan_att.py:187-189)
             return recons + gan
 
@@ -397,41 +425,4 @@ class SumGANAttEngine(_AdversarialBase):
             loss = jnp.mean(-pr + 0.5 * (pf + pu))
             return loss, (pr.mean(), pf.mean(), pu.mean())
 
-        def video_step(carry, inp):
-            params, (s_se, s_d, s_c) = carry
-            x, y, m, key, noise = inp
-            x, y, m = x[None], y[None], m[None]
-            k1, k2, k3 = jax.random.split(key, 3)
-
-            lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
-            upd, s_se = opt_se.update(g, s_se, params)
-            params = optax.apply_updates(params, upd)
-
-            ld, g = jax.value_and_grad(loss_d)(params, x, m, k2)
-            upd, s_d = opt_d.update(g, s_d, params)
-            params = optax.apply_updates(params, upd)
-
-            (lc, probs), g = jax.value_and_grad(loss_c, has_aux=True)(
-                params, x, m, k3, noise
-            )
-            upd, s_c = opt_c.update(g, s_c, params)
-            params = optax.apply_updates(params, upd)
-
-            return (params, (s_se, s_d, s_c)), (lse, ld, lc, *probs)
-
-        @jax.jit
-        def epoch(params, opt_states, feats, targets, mask, perm, rng, noise):
-            n = perm.shape[0]
-            xs = (
-                feats[perm],
-                targets[perm],
-                mask[perm],
-                jax.random.split(rng, n),
-                jnp.full((n,), noise, bool),
-            )
-            (params, opt_states), stats = jax.lax.scan(
-                video_step, (params, opt_states), xs
-            )
-            return params, opt_states, tuple(s.mean() for s in stats)
-
-        return epoch
+        return self._make_epoch((loss_se, loss_d, loss_c), opts)
