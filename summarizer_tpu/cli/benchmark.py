@@ -19,15 +19,20 @@ from tabulate import tabulate
 
 from summarizer_tpu.utils.config import HParameters
 
-# Best-known per-model configs (epochs capped by --max-epochs).
+# Best-known per-model configs (epochs capped by --max-epochs).  The GAN
+# models train with video groups of 8 (see train/adversarial.py): batch-1
+# recurrent updates are HBM-bound on TPU; use ``--models`` + custom flags
+# for exact reference batch-1 dynamics.
 MODEL_CONFIGS = [
     ("Random", {"model": "random", "epochs": 1, "extra_params": {}}),
     ("Logistic Regression", {"model": "logistic", "epochs": 30, "extra_params": {}}),
     ("VASNet", {"model": "vasnet", "epochs": 30, "extra_params": {}}),
     ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
-    ("SumGAN", {"model": "sumgan", "epochs": 20, "extra_params": {}}),
-    ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "extra_params": {}}),
+    ("SumGAN", {"model": "sumgan", "epochs": 20,
+                "extra_params": {"batch_size": 8, "pretrain_vae": 10}}),
+    ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
+                    "extra_params": {"batch_size": 8, "pretrain_ae": 10}}),
 ]
 
 

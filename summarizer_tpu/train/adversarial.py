@@ -116,7 +116,7 @@ class _AdversarialBase(Engine):
 
     def _sizes(self, n):
         bs = max(1, min(int(self.hp.get("batch_size", self.hps.batch_size)), n))
-        chunk = max(1, int(self.hp.get("scan_chunk", 8)))
+        chunk = max(1, int(self.hp.get("scan_chunk", 4)))
         return bs, chunk
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:

@@ -166,12 +166,23 @@ class ReinforceEngine(Engine):
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(train_keys)
+        # Bound single device-execution time on large folds (LOL: 255 train
+        # videos); one dispatch per chunk, same compiled program.
+        chunk = max(1, min(int(self.hp.get("scan_chunk", 64)), n))
         for epoch in range(int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
-            params, opt_state, baselines, loss, reward = epoch_fn(
-                params, opt_state, baselines, feats, targets, mask, perm, k_ep
-            )
+            losses, rewards = [], []
+            for lo in range(0, n, chunk):
+                sel = perm[lo : lo + chunk]
+                rng, k_c = jax.random.split(rng)
+                params, opt_state, baselines, loss_c, reward_c = epoch_fn(
+                    params, opt_state, baselines, feats, targets, mask, sel, k_c
+                )
+                losses.append(float(loss_c) * sel.shape[0])
+                rewards.append(float(reward_c) * sel.shape[0])
+            loss = sum(losses) / n
+            reward = sum(rewards) / n
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   "
                 f"Reward: {float(reward):.05f}  Loss: {float(loss):.05f}"

@@ -143,11 +143,32 @@ class SupervisedEngine(Engine):
                 if profiling
                 else contextlib.nullcontext()
             )
+            chunk = int(self.hp.get("scan_chunk", 0)) or n
             with ctx, timer:
-                params, opt_state, loss = epoch_fn(
-                    params, opt_state, feats, targets, mask, perm, k_ep
-                )
-                loss = float(loss)  # blocks; keeps the timer honest
+                if chunk >= n:
+                    params, opt_state, loss = epoch_fn(
+                        params, opt_state, feats, targets, mask, perm, k_ep
+                    )
+                    loss = float(loss)  # blocks; keeps the timer honest
+                else:
+                    # Chunked execution for very large folds (see
+                    # train/adversarial.py); same compiled program per chunk.
+                    total = 0.0
+                    for lo in range(0, n - n % chunk, chunk):
+                        rng, k_c = jax.random.split(rng)
+                        params, opt_state, loss_c = epoch_fn(
+                            params, opt_state, feats, targets, mask,
+                            perm[lo : lo + chunk], k_c,
+                        )
+                        total += float(loss_c) * chunk
+                    if n % chunk:
+                        rng, k_c = jax.random.split(rng)
+                        params, opt_state, loss_c = epoch_fn(
+                            params, opt_state, feats, targets, mask,
+                            perm[n - n % chunk :], k_c,
+                        )
+                        total += float(loss_c) * (n % chunk)
+                    loss = total / n
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Loss: {loss:.05f}"
             )
