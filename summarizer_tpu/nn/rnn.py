@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.nn.core import _uniform
+from summarizer_tpu.nn.policy import cast_rnn_operands
 
 
 def masked_reverse(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -71,11 +72,13 @@ def _lstm_layer(p, x, lengths):
     b, t, _ = x.shape
     h4 = p["w_hh"].shape[1]
     hidden = h4 // 4
-    xg = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"] + p["b_hh"]
+    xc, w_ih = cast_rnn_operands(x, p["w_ih"])
+    xg = jnp.dot(xc, w_ih, preferred_element_type=jnp.float32) + p["b_ih"] + p["b_hh"]
 
     def step(carry, xt):  # xt: (B, 4H)
         h, c = carry
-        z = xt + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+        hc, w_hh = cast_rnn_operands(h, p["w_hh"])
+        z = xt + jnp.dot(hc, w_hh, preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(z, 4, axis=-1)  # torch gate order i,f,g,o
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         c2 = f * c + i * jnp.tanh(g)
@@ -95,10 +98,12 @@ def _lstm_layer(p, x, lengths):
 def _gru_layer(p, x, lengths):
     b, t, _ = x.shape
     hidden = p["w_hh"].shape[0]
-    xg = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
+    xc, w_ih = cast_rnn_operands(x, p["w_ih"])
+    xg = jnp.dot(xc, w_ih, preferred_element_type=jnp.float32) + p["b_ih"]
 
     def step(h, xt):
-        hg = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+        hc, w_hh = cast_rnn_operands(h, p["w_hh"])
+        hg = jnp.dot(hc, w_hh, preferred_element_type=jnp.float32) + p["b_hh"]
         xr, xz, xn = jnp.split(xt, 3, axis=-1)  # torch gate order r,z,n
         hr, hz, hn = jnp.split(hg, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -158,10 +163,12 @@ def lstm_cell_step(params, x, h, c):
     inp = x
     for li, entry in enumerate(params["layers"]):
         p = entry["fwd"]
+        ic, w_ih = cast_rnn_operands(inp, p["w_ih"])
+        hc, w_hh = cast_rnn_operands(h[li], p["w_hh"])
         z = (
-            jnp.dot(inp, p["w_ih"], preferred_element_type=jnp.float32)
+            jnp.dot(ic, w_ih, preferred_element_type=jnp.float32)
             + p["b_ih"]
-            + jnp.dot(h[li], p["w_hh"], preferred_element_type=jnp.float32)
+            + jnp.dot(hc, w_hh, preferred_element_type=jnp.float32)
             + p["b_hh"]
         )
         i, f, g, o = jnp.split(z, 4, axis=-1)

@@ -56,6 +56,10 @@ class Engine:
         records = self.dataset.subset(keys)
         prop = float(self.hps.summary_proportion)
         method = str(self.hps.selection_algorithm)
+        corr_metric = str(getattr(self.hps, "correlation_metric", "spearmanr"))
+        # Kendall's tau-b is O(n^2) pairwise at frame resolution; it runs on
+        # the host oracle (scipy), like the reference (eval.py:60-63).
+        use_device = bool(self.hps.eval_device) and corr_metric == "spearmanr"
         s, g, u, f, cap = self.eval_dims
         batch, feats = pack_eval(records, s, g, u, f)
         batch = jax.device_put(batch)
@@ -67,7 +71,7 @@ class Engine:
         apply_fn = self.spec.module.apply
         hp = self.hp
 
-        if self.hps.eval_device:
+        if use_device:
 
             @jax.jit
             def eval_program(params, rng, feats, mask, batch):
@@ -99,7 +103,7 @@ class Engine:
             for i, r in enumerate(records):
                 probs = scores[i, : r.n_steps]
                 ms = eval_np.generate_scores(probs, r.n_frames, r.picks)
-                corrs.append(eval_np.evaluate_scores(ms, r.user_scores))
+                corrs.append(eval_np.evaluate_scores(ms, r.user_scores, corr_metric))
                 summ = eval_np.generate_summary(
                     probs, r.change_points, r.n_frames, r.n_frame_per_seg, r.picks, prop, method
                 )
@@ -111,6 +115,17 @@ class Engine:
         return run
 
     # ----------------------------------------------------------------- hooks
+    def compute_policy(self):
+        """bf16 recurrent-matmul policy context (``--bf16 1``); halves the
+        HBM weight streaming that bounds batch-1 RNN steps (BENCH_NOTES.md)."""
+        if int(self.hp.get("bf16", 0)):
+            from summarizer_tpu.nn.policy import rnn_compute
+
+            return rnn_compute(jnp.bfloat16)
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def init_params(self, rng):
         return self.spec.module.init(rng, self.hp)
 

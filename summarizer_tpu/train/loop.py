@@ -103,7 +103,8 @@ def train(hps):
         corrs, af1s, mf1s = [], [], []
         corr_max = -1.0
         for fold, split in enumerate(folds):
-            res = engine.train_fold(fold, split)
+            with engine.compute_policy():
+                res = engine.train_fold(fold, split)
             corrs.append(res.best_corr)
             af1s.append(res.best_avg_f1)
             mf1s.append(res.best_max_f1)

@@ -75,6 +75,7 @@ class HParameters:
         self.extra_params: dict = {}
         self.summary_proportion = 0.15
         self.selection_algorithm = "knapsack"
+        self.correlation_metric = "spearmanr"  # or "kendalltau" (host eval)
         self.log_level = "info"
 
         # TPU-native knobs (new)
