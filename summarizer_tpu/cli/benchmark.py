@@ -28,6 +28,7 @@ MODEL_CONFIGS = [
     ("Logistic Regression", {"model": "logistic", "epochs": 30, "extra_params": {}}),
     ("VASNet", {"model": "vasnet", "epochs": 30, "extra_params": {}}),
     ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
+    ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
     ("SumGAN", {"model": "sumgan", "epochs": 20,
                 "extra_params": {"batch_size": 8, "pretrain_vae": 10}}),

@@ -18,6 +18,7 @@ from summarizer_tpu.models import (  # noqa: F401
     sumgan_att,
     transformer,
     vasnet,
+    vslstm,
 )
 
 
@@ -34,6 +35,7 @@ REGISTRY: dict[str, ModelSpec] = {
     "logistic": ModelSpec("logistic", logistic, "supervised"),
     "vasnet": ModelSpec("vasnet", vasnet, "supervised"),
     "transformer": ModelSpec("transformer", transformer, "supervised"),
+    "vslstm": ModelSpec("vslstm", vslstm, "supervised"),
     "dsn": ModelSpec("dsn", dsn, "reinforce"),
     "sumgan": ModelSpec("sumgan", sumgan, "sumgan"),
     "sumgan_att": ModelSpec("sumgan_att", sumgan_att, "sumgan_att"),
