@@ -105,6 +105,16 @@ class HParameters:
     def _init(self):
         self.model_spec = get_model(self.model)
 
+        # Persistent XLA compile cache: folds/epochs/runs skip recompiles.
+        try:
+            import jax
+
+            cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
         if self.log_dir:
             self.log_path = self.log_dir
         else:
