@@ -74,7 +74,8 @@ def init(rng, hp: dict):
 def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     hp = {**DEFAULTS, **(hp or {})}
     d = x.shape[-1]
-    scale = hp["scale"] if hp["scale"] is not None else 1.0 / math.sqrt(d)
+    # extra-params arrive as CLI strings; coerce numerics
+    scale = float(hp["scale"]) if hp["scale"] is not None else 1.0 / math.sqrt(d)
     rate = float(hp["dropout"])
     eps = float(hp["epsilon"])
     k = split_or_none(rng, 3)
