@@ -144,9 +144,41 @@ def summarizer_forward(params, x, mask, rng, uniform: bool = False):
     return x_hat, dist, scores
 
 
+def summarizer_forward_pair(params, x, mask, rng):
+    """Selector-scored AND uniform-scored reconstructions in ONE batched VAE
+    pass (the paper's x_hat and x_hat_p, sumgan.py:435-441).  Batching the
+    two independent recurrences halves the sequential scan count — the
+    latency bottleneck of small-batch RNNs on TPU."""
+    lengths = mask.sum(-1).astype(jnp.int32)
+    k1, k2 = jax.random.split(rng)
+    scores = slstm_apply(params["s_lstm"], x, lengths)
+    uniform = jax.random.uniform(k1, x.shape[:2])
+    xw = jnp.concatenate(
+        [x * (scores * mask)[..., None], x * (uniform * mask)[..., None]], axis=0
+    )
+    x_hats, _ = vae_forward(
+        params, xw, jnp.concatenate([lengths, lengths]), k2
+    )
+    b = x.shape[0]
+    return x_hats[:b], x_hats[b:], scores
+
+
 def discriminate(params, x, mask):
     lengths = mask.sum(-1).astype(jnp.int32)
     return clstm_apply(params["c_lstm"], x, lengths)
+
+
+def discriminate_many(params, xs, mask):
+    """One batched cLSTM pass over k independent sequences sharing the mask:
+    returns k (probs, h_last) pairs.  Replaces k sequential discriminator
+    scans (sumgan.py:437-441) with one."""
+    k = len(xs)
+    b = xs[0].shape[0]
+    lengths = mask.sum(-1).astype(jnp.int32)
+    probs, h = clstm_apply(
+        params["c_lstm"], jnp.concatenate(xs, axis=0), jnp.tile(lengths, k)
+    )
+    return [(probs[i * b : (i + 1) * b], h[i * b : (i + 1) * b]) for i in range(k)]
 
 
 def apply(params, x, mask, *, rng=None, train=False, hp=None):

@@ -308,8 +308,7 @@ class SumGANEngine(_AdversarialBase):
 
         def loss_se(p, x, y, m, key):
             x_hat, (mu, logvar), scores = sg.summarizer_forward(p, x, m, key)
-            _, h_real = sg.discriminate(p, x, m)
-            _, h_fake = sg.discriminate(p, x_hat, m)
+            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m)
             recons = l2_norm_rows(h_real, h_fake)
             prior = kl_prior(mu, logvar)
             sparsity = (
@@ -319,12 +318,10 @@ class SumGANEngine(_AdversarialBase):
             return recons + prior + sparsity
 
         def loss_d(p, x, m, key):
-            k1, k2 = jax.random.split(key)
-            x_hat, _, _ = sg.summarizer_forward(p, x, m, k1)
-            x_hat_p, _, _ = sg.summarizer_forward(p, x, m, k2, uniform=True)
-            _, h_real = sg.discriminate(p, x, m)
-            probs_fake, h_fake = sg.discriminate(p, x_hat, m)
-            probs_uniform, _ = sg.discriminate(p, x_hat_p, m)
+            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, key)
+            (_, h_real), (probs_fake, h_fake), (probs_uniform, _) = (
+                sg.discriminate_many(p, [x, x_hat, x_hat_p], m)
+            )
             recons = l2_norm_rows(h_real, h_fake)
             ones = jnp.ones_like(probs_fake)
             gan = bce_masked(probs_fake, 0.9 * ones, ones) + bce_masked(
@@ -333,15 +330,12 @@ class SumGANEngine(_AdversarialBase):
             return recons + gan
 
         def loss_c(p, x, m, key, noise):
-            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-            x_hat, _, _ = sg.summarizer_forward(p, x, m, k1)
-            x_hat_p, _, _ = sg.summarizer_forward(p, x, m, k2, uniform=True)
+            k1, k3, k4, k5 = jax.random.split(key, 4)
+            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, k1)
             x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
             x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
             x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
-            pr, _ = sg.discriminate(p, x_in, m)
-            pf, _ = sg.discriminate(p, x_hat, m)
-            pu, _ = sg.discriminate(p, x_hat_p, m)
+            (pr, _), (pf, _), (pu, _) = sg.discriminate_many(p, [x_in, x_hat, x_hat_p], m)
             ones = jnp.ones_like(pr)
             loss = (
                 bce_masked(pr, 0.9 * ones, ones)
@@ -394,8 +388,7 @@ class SumGANAttEngine(_AdversarialBase):
 
         def loss_se(p, x, y, m, key):
             x_hat, scores = sga.summarizer_forward(p, x, m, key, hp)
-            _, h_real = sga.discriminate(p, x, m)
-            _, h_fake = sga.discriminate(p, x_hat, m)
+            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m)
             recons = l2_norm_rows(h_real, h_fake)
             sparsity = bce_masked(scores, y, m) if sup else 0.0
             return recons + sparsity
@@ -404,9 +397,9 @@ class SumGANAttEngine(_AdversarialBase):
             k1, k2 = jax.random.split(key)
             x_hat, _ = sga.summarizer_forward(p, x, m, k1, hp)
             x_hat_p, _ = sga.summarizer_forward(p, x, m, k2, hp, uniform=True)
-            _, h_real = sga.discriminate(p, x, m)
-            pf, h_fake = sga.discriminate(p, x_hat, m)
-            pu, _ = sga.discriminate(p, x_hat_p, m)
+            (_, h_real), (pf, h_fake), (pu, _) = sg.discriminate_many(
+                p, [x, x_hat, x_hat_p], m
+            )
             recons = l2_norm_rows(h_real, h_fake)
             gan = jnp.mean(-0.5 * (pf + pu))  # WGAN generator (sumgan_att.py:187-189)
             return recons + gan
@@ -418,9 +411,9 @@ class SumGANAttEngine(_AdversarialBase):
             x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
             x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
             x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
-            pr, _ = sga.discriminate(p, x_in, m)
-            pf, _ = sga.discriminate(p, x_hat, m)
-            pu, _ = sga.discriminate(p, x_hat_p, m)
+            (pr, _), (pf, _), (pu, _) = sg.discriminate_many(
+                p, [x_in, x_hat, x_hat_p], m
+            )
             # WGAN discriminator (sumgan_att.py:191-193)
             loss = jnp.mean(-pr + 0.5 * (pf + pu))
             return loss, (pr.mean(), pf.mean(), pu.mean())
