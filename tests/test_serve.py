@@ -1,0 +1,44 @@
+"""Serving API: checkpoint round-trip, bucketed scoring, summary assembly."""
+
+import jax
+import numpy as np
+
+from summarizer_tpu.serve import Scorer, _bucket
+from summarizer_tpu.train.checkpoint import save_params
+from summarizer_tpu.models import logistic
+
+
+def test_bucketing():
+    assert _bucket(1) == 128
+    assert _bucket(128) == 128
+    assert _bucket(129) == 256
+    assert _bucket(1000) == 1024
+
+
+def test_scorer_end_to_end(tmp_path, synth_records):
+    hp = {"input_size": 64}
+    params = logistic.init(jax.random.PRNGKey(0), hp)
+    path = str(tmp_path / "w.ckpt")
+    save_params(path, params)
+
+    scorer = Scorer.from_checkpoint("logistic", path, hp)
+    feats = [r.features for r in synth_records]
+    scores = scorer.score(feats)
+    assert len(scores) == len(feats)
+    for s, f in zip(scores, feats):
+        assert s.shape == (f.shape[0],)
+        assert np.all((s >= 0) & (s <= 1))
+
+    # bucketed program reuse: same bucket -> one compiled fn
+    n_fns = len(scorer._fns)
+    scorer.score(feats)
+    assert len(scorer._fns) == n_fns
+
+    r = synth_records[0]
+    result = scorer.summarize(
+        r.features, r.n_frames, r.picks, r.change_points, r.n_frame_per_seg
+    )
+    assert result.machine_summary.shape[0] == int(np.sum(r.n_frame_per_seg))
+    assert result.machine_scores.shape[0] == r.n_frames
+    kept = result.machine_summary.sum()
+    assert 0 < kept <= int(r.n_frames * 0.15) + max(r.n_frame_per_seg)
