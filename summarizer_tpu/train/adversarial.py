@@ -143,11 +143,28 @@ class _AdversarialBase(Engine):
         epoch_fn = self.make_epoch_fn(opts, cfg)
         eval_fn = self.make_eval_fn(test_keys)
 
+        import os as _os
+
+        state_path = getattr(hps, "resume_path", None) or _os.path.join(
+            hps.log_path, f"state_fold{fold}.ckpt"
+        )
+        start_epoch = 0
+        if getattr(hps, "resume", False) and _os.path.exists(state_path):
+            from summarizer_tpu.train.resume import TrainState, load_state
+
+            st = load_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_states, rng=rng),
+            )
+            params, opt_states = st.params, st.opt_state
+            rng, start_epoch = jnp.asarray(st.rng), st.epoch
+            self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(train_keys)
         bs, chunk = self._sizes(n)
         epoch_noise = cfg["epoch_noise"]
-        for epoch in range(int(hps.epochs)):
+        for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
             groups = perm[: (n // bs) * bs].reshape(-1, bs)
@@ -184,6 +201,14 @@ class _AdversarialBase(Engine):
                 if corr > best.best_corr:
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
+                if getattr(hps, "resume", False):
+                    from summarizer_tpu.train.resume import TrainState, save_state
+
+                    save_state(
+                        state_path,
+                        TrainState(params=params, opt_state=opt_states,
+                                   epoch=epoch + 1, rng=rng),
+                    )
         return best
 
     def _run_pretrain(self, params, feats, mask, cfg, rng, opt, opt_state, loss_fn, tag):

@@ -19,6 +19,8 @@ float 0.01; set extra param ``compat_beta_int=1`` to reproduce the bug.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -164,12 +166,29 @@ class ReinforceEngine(Engine):
         epoch_fn = self.make_epoch_fn(optimizer)
         eval_fn = self.make_eval_fn(test_keys)
 
+        state_path = getattr(hps, "resume_path", None) or os.path.join(
+            hps.log_path, f"state_fold{fold}.ckpt"
+        )
+        start_epoch = 0
+        if getattr(hps, "resume", False) and os.path.exists(state_path):
+            from summarizer_tpu.train.resume import TrainState, load_state
+
+            st = load_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_state, rng=rng,
+                           extras={"baselines": baselines}),
+            )
+            params, opt_state = st.params, st.opt_state
+            rng, start_epoch = jnp.asarray(st.rng), st.epoch
+            baselines = jnp.asarray(st.extras["baselines"])
+            self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(train_keys)
         # Bound single device-execution time on large folds (LOL: 255 train
         # videos); one dispatch per chunk, same compiled program.
         chunk = max(1, min(int(self.hp.get("scan_chunk", 64)), n))
-        for epoch in range(int(hps.epochs)):
+        for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
             losses, rewards = [], []
@@ -200,4 +219,13 @@ class ReinforceEngine(Engine):
                 if corr > best.best_corr:
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
+                if getattr(hps, "resume", False):
+                    from summarizer_tpu.train.resume import TrainState, save_state
+
+                    save_state(
+                        state_path,
+                        TrainState(params=params, opt_state=opt_state,
+                                   epoch=epoch + 1, rng=rng,
+                                   extras={"baselines": baselines}),
+                    )
         return best
