@@ -53,8 +53,20 @@ def _preprocess(frames: list[np.ndarray]) -> np.ndarray:
     return out
 
 
-def extract_features(params, path_or_dir: str, batch: int = 32, fps: float = 30.0):
-    """Returns a dict with the per-video schema fields for one video."""
+def extract_features(
+    params,
+    path_or_dir: str,
+    batch: int = 32,
+    fps: float = 30.0,
+    segmentation: str = "uniform",
+    max_segments: int | None = None,
+):
+    """Returns a dict with the per-video schema fields for one video.
+
+    ``segmentation``: "uniform" reproduces the reference's 2-second fallback
+    (Summarizer.pdf §2.2); "kts" runs the on-device KTS DP (ops/kts.py) over
+    the extracted features — the step the reference found intractable on CPU.
+    """
     import jax
 
     fwd = jax.jit(googlenet_apply)
@@ -85,12 +97,23 @@ def extract_features(params, path_or_dir: str, batch: int = 32, fps: float = 30.
     picks = np.asarray(picks, np.int32)
     n_steps = len(picks)
 
-    # Uniform 2-second segmentation (the reference's KTS fallback for long
-    # videos, Summarizer.pdf §2.2).
-    seg_len = max(int(round(2.0 * fps)), 1)
-    starts = np.arange(0, max(n_frames, 1), seg_len)
-    ends = np.minimum(starts + seg_len - 1, max(n_frames, 1) - 1)
-    cps = np.stack([starts, ends], axis=1).astype(np.int32)
+    if segmentation == "kts" and n_steps > 1:
+        from summarizer_tpu.ops.kts import kts_segment
+
+        m_max = max_segments or max(2, n_steps // 10)
+        step_cps = kts_segment(features, m_max)
+        # feature-step bounds -> frame bounds via picks; last segment ends at
+        # the final frame.
+        starts = picks[step_cps[:, 0]]
+        ends = np.concatenate([starts[1:] - 1, [max(n_frames, 1) - 1]])
+        cps = np.stack([starts, ends], axis=1).astype(np.int32)
+    else:
+        # Uniform 2-second segmentation (the reference's KTS fallback for
+        # long videos, Summarizer.pdf §2.2).
+        seg_len = max(int(round(2.0 * fps)), 1)
+        starts = np.arange(0, max(n_frames, 1), seg_len)
+        ends = np.minimum(starts + seg_len - 1, max(n_frames, 1) - 1)
+        cps = np.stack([starts, ends], axis=1).astype(np.int32)
 
     return dict(
         features=features.astype(np.float32),
