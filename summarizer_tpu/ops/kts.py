@@ -79,6 +79,32 @@ def kts_costs(features: jnp.ndarray, max_segments: int):
     return l_all, backs
 
 
+@partial(jax.jit, static_argnames=("max_segments", "force_m"))
+def _kts_bounds(features, max_segments: int, penalty, force_m: bool):
+    """DP + on-device model selection + on-device backtrack.  Only the
+    (max_segments+1,) bounds vector and m* leave the device — bulk
+    device->host transfers are expensive on tunneled TPUs."""
+    l_all, backs = kts_costs(features, max_segments)
+    t = features.shape[0]
+    if force_m:
+        m_star = jnp.int32(max_segments - 1)
+    else:
+        m = jnp.arange(1, max_segments + 1, dtype=jnp.float32)
+        crit = l_all[:, t] + penalty * m * (jnp.log(t / m) + 1.0)
+        m_star = jnp.argmin(crit).astype(jnp.int32)
+
+    def back_step(carry, i):
+        j, m = carry
+        take = m > 0
+        j_new = jnp.where(take, backs[jnp.maximum(m, 0), j], 0)
+        return (j_new, m - 1), j_new
+
+    (_, _), bounds_rev = jax.lax.scan(
+        back_step, (jnp.int32(t), m_star), jnp.arange(max_segments)
+    )
+    return m_star, bounds_rev  # split points (descending), zero-padded
+
+
 def kts_segment(
     features: np.ndarray,
     max_segments: int,
@@ -90,30 +116,20 @@ def kts_segment(
     vmax = 1.0; pass 0 to force exactly ``max_segments`` segments."""
     t = features.shape[0]
     max_segments = max(1, min(int(max_segments), t))
-    l_all, backs = jax.device_get(kts_costs(jnp.asarray(features), max_segments))
-
-    final = l_all[:, t]  # cost with (m+1) segments over [0, T)
-    if penalty == 0:
-        m_star = max_segments - 1
-    else:
-        scale = 1.0 if penalty is None else float(penalty)
-        m = np.arange(1, max_segments + 1)
-        crit = final + scale * m * (np.log(t / m) + 1)
-        m_star = int(np.argmin(crit))
-
-    # Backtrack the m_star split points.
-    bounds = [t]
-    j = t
-    for m in range(m_star, 0, -1):
-        j = int(backs[m, j])
-        bounds.append(j)
-    bounds.append(0)
-    bounds = sorted(set(bounds))
-    cps = np.array(
+    m_star, bounds_rev = jax.device_get(
+        _kts_bounds(
+            jnp.asarray(features),
+            max_segments,
+            np.float32(1.0 if not penalty else penalty),
+            penalty == 0,
+        )
+    )
+    m_star = int(m_star)
+    bounds = sorted(set([0, t] + [int(b) for b in bounds_rev[:m_star]]))
+    return np.array(
         [[bounds[s], bounds[s + 1] - 1] for s in range(len(bounds) - 1)],
         dtype=np.int32,
     )
-    return cps
 
 
 def kts_oracle(features: np.ndarray, n_segments: int) -> np.ndarray:
