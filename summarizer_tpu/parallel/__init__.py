@@ -9,7 +9,16 @@ config.py:94-103).  Here parallel training is a first-class subsystem:
     psums are emitted by XLA from the shardings, no hand-written collectives),
   - Megatron-style tensor parallelism for the attention/FFN matmuls
     (column-parallel in-projections, row-parallel out-projections) declared
-    purely through ``NamedSharding`` rules on the param pytree.
+    purely through ``NamedSharding`` rules on the param pytree,
+  - data-parallel full-dataset evaluation (eval_parallel.py).
+
+Deliberately absent: pipeline parallelism (the largest model is ~200 M
+params — it fits one chip hundreds of times over; a pp axis would only add
+bubbles), expert parallelism (no MoE layers exist in this model family),
+and sequence parallelism for training (T <= a few thousand steps; the
+banded Pallas attention already makes long sequences cheap, and the eval's
+frame axis reduces on-device before any cross-chip traffic).  The dp/tp
+pair is what this workload can actually use.
 """
 
 from summarizer_tpu.parallel.mesh import make_mesh  # noqa: F401
