@@ -1,0 +1,72 @@
+"""Host-side CLI tools: mp4 summary export, benchmark table, metric study."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+
+def test_summary_exporter(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from summarizer_tpu.cli.summary import main
+
+    # frames NNNNNN.jpg (1-based), a preds h5 with a machine_summary
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.RandomState(0)
+    n = 12
+    for i in range(1, n + 1):
+        cv2.imwrite(str(frames / f"{i:06d}.jpg"), rng.randint(0, 255, (48, 64, 3), np.uint8))
+    preds = tmp_path / "preds.h5"
+    summary = np.zeros(n, np.float32)
+    summary[3:9] = 1.0
+    with h5py.File(preds, "w") as f:
+        f.create_group("ds.h5").create_group("video_1").create_dataset(
+            "machine_summary", data=summary
+        )
+    main([
+        "-p", str(preds), "-f", str(frames), "-d", "ds.h5", "-v", "video_1",
+        "--fps", "10", "--width", "64", "--height", "48",
+    ])
+    out = tmp_path / "summary_video_1.mp4"
+    assert out.exists() and out.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
+
+
+def test_benchmark_table(tmp_path, synth_h5, monkeypatch):
+    from summarizer_tpu.cli import benchmark as B
+    from summarizer_tpu.data.splits import make_random_splits, write_splits
+
+    with h5py.File(synth_h5) as f:
+        keys = list(f.keys())
+    sp = tmp_path / "synthetic_splits.json"
+    write_splits(make_random_splits(keys, 2, 0.8, seed=0), str(sp))
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        B,
+        "MODEL_CONFIGS",
+        [
+            ("Random", {"model": "random", "epochs": 1,
+                        "extra_params": {"input_size": 64}}),
+            ("Logistic Regression", {"model": "logistic", "epochs": 2,
+                                     "extra_params": {"input_size": 64}}),
+        ],
+    )
+    B.main(["-s", str(sp), "--datasets", str(synth_h5), "-e", "2"])
+    tables = list((tmp_path / "logs").glob("*benchmark/table.txt"))
+    assert tables, "benchmark table not written"
+    text = tables[0].read_text()
+    assert "Logistic Regression" in text and "Correlation" in text
+
+
+def test_validate_metrics_cli(synth_h5, capsys):
+    from summarizer_tpu.cli.validate_metrics import main
+
+    report = main(["-d", str(synth_h5)])
+    assert abs(report["random_corr"]) < 0.2
+    assert report["human_loo_corr"] > 0.3  # synthetic annotators correlate
