@@ -20,7 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.nn.core import linear, linear_init
-from summarizer_tpu.nn.rnn import lstm_apply, lstm_cell_step, lstm_init, masked_reverse
+from summarizer_tpu.nn.rnn import (
+    lstm_apply,
+    lstm_cell_step,
+    lstm_init,
+    masked_reverse,
+    precast_stack,
+)
 
 DEFAULTS = dict(
     input_size=1024,
@@ -75,10 +81,11 @@ def dlstm_apply(p, t_max: int, h0, c0, lengths):
     input (sumgan.py:98-115), re-oriented per true length."""
     b = h0.shape[1]
     hidden = h0.shape[2]
+    lstm_c = precast_stack(p["lstm"])  # cast once, outside the decode scan
 
     def step(carry, _):
         x, h, c = carry
-        x2, (h2, c2) = lstm_cell_step(p["lstm"], x, h, c)
+        x2, (h2, c2) = lstm_cell_step(lstm_c, x, h, c)
         return (x2, h2, c2), linear(p["recons"], x2)
 
     x0 = jnp.asarray(np.zeros((b, hidden), np.float32))

@@ -37,3 +37,18 @@ def cast_rnn_operands(x, w):
     if dt is None:
         return x, w
     return x.astype(dt), w.astype(dt)
+
+
+def precast_rnn_weights(p: dict) -> dict:
+    """Cast a cell's w_ih/w_hh ONCE, for hoisting *outside* a scan: a cast
+    left inside the loop body re-reads the f32 master weights every timestep
+    and makes things worse, not better.  Biases stay f32 (added post-matmul).
+    """
+    dt = _rnn_compute_dtype.get()
+    if dt is None:
+        return p
+    out = dict(p)
+    for k in ("w_ih", "w_hh"):
+        if k in out:
+            out[k] = out[k].astype(dt)
+    return out

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.nn.core import _uniform
-from summarizer_tpu.nn.policy import cast_rnn_operands
+from summarizer_tpu.nn.policy import cast_rnn_operands, precast_rnn_weights
 
 
 def masked_reverse(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -72,6 +72,7 @@ def _lstm_layer(p, x, lengths):
     b, t, _ = x.shape
     h4 = p["w_hh"].shape[1]
     hidden = h4 // 4
+    p = precast_rnn_weights(p)  # hoisted: one cast, not one per timestep
     xc, w_ih = cast_rnn_operands(x, p["w_ih"])
     xg = jnp.dot(xc, w_ih, preferred_element_type=jnp.float32) + p["b_ih"] + p["b_hh"]
 
@@ -98,6 +99,7 @@ def _lstm_layer(p, x, lengths):
 def _gru_layer(p, x, lengths):
     b, t, _ = x.shape
     hidden = p["w_hh"].shape[0]
+    p = precast_rnn_weights(p)
     xc, w_ih = cast_rnn_operands(x, p["w_ih"])
     xg = jnp.dot(xc, w_ih, preferred_element_type=jnp.float32) + p["b_ih"]
 
@@ -127,6 +129,8 @@ def _lstm_layer_bidir(pf, pb, x, lengths):
     the latency bottleneck of small-batch recurrence on TPU."""
     b, t, _ = x.shape
     hidden = pf["w_hh"].shape[0]
+    pf = precast_rnn_weights(pf)
+    pb = precast_rnn_weights(pb)
     xs = jnp.stack([x, masked_reverse(x, lengths)])  # (2, B, T, D)
     w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]])  # (2, D, 4H)
     w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])  # (2, H, 4H)
@@ -200,6 +204,17 @@ def _stack_apply(params, x, lengths, layer_fn, carry_state):
 
 def lstm_apply(params, x, lengths=None):
     return _stack_apply(params, x, lengths, _lstm_layer, carry_state=True)
+
+
+def precast_stack(params):
+    """Pre-cast all layers' weights under the active policy (call OUTSIDE
+    any scan so the casts hoist)."""
+    return {
+        "layers": [
+            {d: precast_rnn_weights(cell) for d, cell in entry.items()}
+            for entry in params["layers"]
+        ]
+    }
 
 
 def lstm_cell_step(params, x, h, c):
