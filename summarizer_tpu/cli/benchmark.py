@@ -31,9 +31,9 @@ MODEL_CONFIGS = [
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
     ("SumGAN", {"model": "sumgan", "epochs": 20,
-                "extra_params": {"batch_size": 8, "pretrain_vae": 5}}),
+                "extra_params": {"batch_size": 8, "pretrain_vae": 5, "bf16": 1}}),
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
-                    "extra_params": {"batch_size": 8, "pretrain_ae": 5}}),
+                    "extra_params": {"batch_size": 8, "pretrain_ae": 5, "bf16": 1}}),
 ]
 
 
