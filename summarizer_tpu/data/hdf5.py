@@ -18,6 +18,7 @@ arrays (data/batching.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import h5py
@@ -54,10 +55,37 @@ def _scalar(v) -> int:
     return int(a.reshape(-1)[0]) if a.size else 0
 
 
-class SummarizerDataset:
-    """In-memory view of one dataset file, keyed by video name."""
+def dataset_short_name(path: str) -> str:
+    """``summarizer_dataset_<name>_google_pool5.h5`` -> ``<name>`` (falls
+    back to the file stem)."""
+    import re
 
-    def __init__(self, path: str, keys: list[str] | None = None):
+    base = os.path.basename(path)
+    m = re.match(r"summarizer_dataset_(.+?)_google_pool5\.h5", base)
+    return m.group(1) if m else os.path.splitext(base)[0]
+
+
+class SummarizerDataset:
+    """In-memory view of one or several dataset files, keyed by video name.
+
+    With multiple files (augmented cross-dataset training pools — BASELINE
+    config 3; absent from the reference, which binds one h5 per splits
+    file), keys are dataset-qualified: ``<dataset>/<video_key>``.
+    """
+
+    def __init__(self, path: str | list[str], keys: list[str] | None = None):
+        if isinstance(path, (list, tuple)):
+            import dataclasses
+
+            self.path = "+".join(dataset_short_name(p) for p in path)
+            self.videos = {}
+            for p in path:
+                prefix = dataset_short_name(p)
+                sub = SummarizerDataset(p)
+                for k, v in sub.videos.items():
+                    qk = f"{prefix}/{k}"
+                    self.videos[qk] = dataclasses.replace(v, key=qk)
+            return
         self.path = path
         self.videos: dict[str, VideoRecord] = {}
         with h5py.File(path, "r") as f:

@@ -45,6 +45,27 @@ def make_random_splits(
     return splits
 
 
+def make_augmented_splits(
+    target_keys: list[str],
+    other_keys: list[str],
+    num_splits: int = 5,
+    train_percent: float = 0.8,
+    seed: int | None = None,
+):
+    """Augmented cross-dataset folds (the vsumm literature's "aug" setting;
+    BASELINE config 3): every fold trains on ALL other datasets' videos plus
+    ``train_percent`` of the target dataset, and tests on the target's
+    held-out remainder.  Keys must be dataset-qualified ("<dataset>/<key>")."""
+    folds = make_random_splits(target_keys, num_splits, train_percent, seed)
+    return [
+        {
+            "train_keys": list(other_keys) + f["train_keys"],
+            "test_keys": f["test_keys"],
+        }
+        for f in folds
+    ]
+
+
 def write_splits(splits, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:

@@ -135,10 +135,18 @@ class HParameters:
         for sf in self.splits_files:
             name, splits = parse_splits_filename(sf)
             self.dataset_name_of_file[sf] = name
-            ds = self.get_dataset_by_name(name)
-            if ds is None:
-                raise FileNotFoundError(f"No dataset path matches '{name}' in {self.datasets}")
-            self.dataset_of_file[sf] = ds[-1]
+            # Augmented cross-dataset splits use dataset-qualified keys
+            # ("<dataset>/<video>"); bind ALL dataset files then.
+            sample = (splits[0]["train_keys"] + splits[0]["test_keys"])[:1] if splits else []
+            if sample and "/" in sample[0]:
+                self.dataset_of_file[sf] = list(self.datasets)
+            else:
+                ds = self.get_dataset_by_name(name)
+                if ds is None:
+                    raise FileNotFoundError(
+                        f"No dataset path matches '{name}' in {self.datasets}"
+                    )
+                self.dataset_of_file[sf] = ds[-1]
             self.splits_of_file[sf] = splits
 
         self.weights_path = {}
