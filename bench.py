@@ -47,6 +47,22 @@ def make_data(rng):
     return feats, targets
 
 
+# v5e bf16 peak; JAX's default matmul precision on TPU computes f32 inputs in
+# single-pass bf16 on the MXU, so this is the honest denominator.
+PEAK_FLOPS = 197e12
+
+
+def vasnet_train_flops(t: int, d: int = D) -> float:
+    """Analytic FLOPs for one VASNet train step on a T-step video.
+
+    Forward: K/Q/V/out projections 4*(2*T*D^2), attention scores+context
+    2*(2*T^2*D), FFN k1 2*T*D^2 (+ k2 2*T*D, negligible).  Backward of a
+    matmul costs 2x its forward -> train step ~= 3x forward.
+    """
+    fwd = 10.0 * t * d * d + 4.0 * t * t * d
+    return 3.0 * fwd
+
+
 def bench_jax(feats, targets):
     import jax
     import jax.numpy as jnp
@@ -76,10 +92,124 @@ def bench_jax(feats, targets):
     t0 = time.perf_counter()
     for _ in range(EPOCHS_TIMED):
         params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
-    jax.block_until_ready(loss)
+    # One sync at the end: epochs chain through params, so the final loss
+    # transitively waits for all of them (a per-epoch fetch would add one
+    # tunnel round-trip per epoch to the measurement).
+    float(loss)
     dt = time.perf_counter() - t0
     vps = N_VIDEOS * EPOCHS_TIMED / dt
-    log(f"jax: {dt:.3f}s for {EPOCHS_TIMED} epochs -> {vps:.1f} videos/s")
+    mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
+    log(f"jax: {dt:.3f}s for {EPOCHS_TIMED} epochs -> {vps:.1f} videos/s "
+        f"(MFU {mfu * 100:.1f}% of bf16 peak, batch-1 parity dynamics)")
+    return vps, mfu
+
+
+def bench_jax_batched(feats, targets, batch=32):
+    """Same supervised step at batch=32 (throughput mode, documented
+    dynamics change): grouped videos per Adam step."""
+    import jax
+    import jax.numpy as jnp
+
+    from summarizer_tpu.models import vasnet
+    from summarizer_tpu.train.optim import torch_adam
+    from summarizer_tpu.train.supervised import make_epoch_fn
+
+    hp = {"input_size": D}
+    params = vasnet.init(jax.random.PRNGKey(0), hp)
+    opt = torch_adam(5e-5, 1e-5)
+    opt_state = opt.init(params)
+    epoch_fn = make_epoch_fn(vasnet.apply, hp, opt, True, batch)
+
+    fx = jax.device_put(jnp.asarray(feats))
+    tx = jax.device_put(jnp.asarray(targets))
+    mx = jnp.ones((N_VIDEOS, T_STEPS), jnp.float32)
+    perm = jnp.arange(N_VIDEOS)
+    rng = jax.random.PRNGKey(1)
+
+    params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
+    float(loss)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
+    float(loss)  # single end-of-chain sync (see bench_jax)
+    dt = time.perf_counter() - t0
+    vps = N_VIDEOS * reps / dt
+    mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
+    log(f"jax batch={batch}: {vps:.1f} videos/s (MFU {mfu * 100:.1f}%)")
+    return vps, mfu
+
+
+def bench_sumgan():
+    """SumGAN 3-phase adversarial step, video-group 20, length-bucketed
+    split-phase path, bf16 streaming (the r2 GAN configuration).  Uses the
+    synthetic TVSum-scale dataset in datasets/.  Round-1 reference point:
+    4.21 videos/s (BENCH_NOTES.md)."""
+    import jax
+
+    from summarizer_tpu.data.batching import pack_train
+    from summarizer_tpu.data.hdf5 import SummarizerDataset
+    from summarizer_tpu.train.loop import make_engine
+    from summarizer_tpu.utils.config import HParameters
+
+    hps = HParameters().load_from_args(
+        {
+            "model": "sumgan",
+            "splits_files": ["splits/tvsum_splits.json"],
+            "epochs": 2,
+            "log_level": "error",
+            "tensorboard": False,
+            "log_dir": "logs/bench_sumgan",
+            "extra_params": {"pretrain_vae": 0, "batch_size": 20, "bf16": 1,
+                             "split_phases": 1},
+        }
+    )
+    sf = hps.splits_files[0]
+    dataset = SummarizerDataset(hps.dataset_of_file[sf])
+    engine = make_engine(hps, dataset, hps.dataset_name_of_file[sf])
+    split = hps.splits_of_file[sf][0]
+    keys = list(split["train_keys"])
+    n = len(keys)
+    bs = 20
+
+    pack = pack_train(engine.dataset.subset(keys), t_max=engine.t_max)
+    feats = jax.device_put(pack.features)
+    targets = jax.device_put(pack.targets)
+    mask = jax.device_put(pack.mask)
+    engine._host_lengths = pack.mask.sum(-1).astype(int)
+
+    cfg = engine._cfg()
+    params = engine.init_params(jax.random.PRNGKey(1))
+    opts, opt_states = engine.make_optimizers(params, cfg)
+    rng = jax.random.PRNGKey(0)
+    with engine.compute_policy():
+        epoch_fn = engine.make_epoch_fn(opts, cfg)
+
+        def one_epoch(params, opt_states, key):
+            import jax.numpy as jnp
+
+            p = np.asarray(jax.random.permutation(key, n))
+            bucket_ids = (engine._host_lengths[p] + 127) // 128
+            perm = jnp.asarray(p[np.argsort(bucket_ids, kind="stable")])
+            groups = perm[: (n // bs) * bs].reshape(-1, bs)
+            params, opt_states, stats = epoch_fn(
+                params, opt_states, feats, targets, mask, groups, key, False
+            )
+            _ = [float(v) for v in stats]
+            return params, opt_states
+
+        rng, k = jax.random.split(rng)
+        params, opt_states = one_epoch(params, opt_states, k)  # compiles
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rng, k = jax.random.split(rng)
+            params, opt_states = one_epoch(params, opt_states, k)
+        dt = time.perf_counter() - t0
+    trained = (n // bs) * bs
+    vps = trained * reps / dt
+    log(f"sumgan 3-phase (group 20, bucketed, bf16): {vps:.2f} videos/s "
+        f"(round-1: 4.21)")
     return vps
 
 
@@ -182,7 +312,20 @@ def bench_eval_latency():
 def main():
     rng = np.random.RandomState(42)
     feats, targets = make_data(rng)
-    vps = bench_jax(feats, targets)
+    vps, mfu = bench_jax(feats, targets)
+    extras = {}
+    try:
+        vps32, mfu32 = bench_jax_batched(feats, targets, batch=32)
+        extras["batch32_videos_per_sec"] = round(vps32, 1)
+        extras["batch32_mfu_pct"] = round(mfu32 * 100, 1)
+    except Exception as e:
+        log(f"batch-32 bench failed: {e}")
+    try:
+        gan_vps = bench_sumgan()
+        extras["sumgan_videos_per_sec"] = round(gan_vps, 2)
+        extras["sumgan_vs_round1"] = round(gan_vps / 4.21, 2)
+    except Exception as e:
+        log(f"sumgan bench failed: {e}")
     try:
         bench_eval_latency()
     except Exception as e:
@@ -196,6 +339,8 @@ def main():
                 "value": round(vps, 2),
                 "unit": "videos/sec",
                 "vs_baseline": round(vs, 2),
+                "mfu_pct": round(mfu * 100, 1),
+                **extras,
             }
         )
     )

@@ -1,0 +1,107 @@
+"""Run ONE reference (torch) training config, offline, and emit a JSON result.
+
+Executes the reference stack at /root/reference on the repo's synthetic h5
+datasets + the repo's split files, so its 5-fold CV metrics are directly
+comparable with the TPU stack's on identical data (VERDICT.md item 2).
+
+OR-Tools is not installed here; ``summarizer.utils.knapsack`` is shimmed with
+the repo's exact first-party DP (same ×1000 int cast semantics as
+summarizer/utils/knapsack.py:12-15), so summary F1 is bit-identical in the
+selection step.
+
+Usage: python scripts/parity_ref_worker.py '<json config>'
+Config keys: name, model, splits_files (list), epochs, lr, weight_decay,
+test_every_epochs, extra_params, seed, workdir (scratch cwd with datasets/ +
+splits/ symlinks).
+"""
+
+import json
+import os
+import random
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv):
+    cfg = json.loads(argv[1])
+    os.makedirs(cfg["workdir"], exist_ok=True)
+    os.chdir(cfg["workdir"])
+    for link, target in (
+        ("datasets", os.path.join(REPO, "datasets")),
+        ("splits", os.path.join(REPO, "splits")),
+    ):
+        if not os.path.exists(link):
+            os.symlink(target, link)
+    os.makedirs("logs", exist_ok=True)
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, "/root/reference")
+
+    import numpy as np
+    import torch
+
+    seed = int(cfg.get("seed", 12345))
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
+
+    # --- knapsack shim (ortools-free, exact parity) -------------------------
+    from summarizer_tpu.ops.knapsack import knapsack_solve
+
+    shim = types.ModuleType("summarizer.utils.knapsack")
+
+    def knapsack_ortools(values, weights, items, capacity):
+        v = (np.asarray(values, dtype=np.float64) * 1000).astype(np.int64)
+        w = np.asarray(weights).astype(np.int64)
+        return knapsack_solve(v, w, int(capacity))
+
+    shim.knapsack_ortools = knapsack_ortools
+    sys.modules["summarizer.utils.knapsack"] = shim
+
+    from summarizer.main import train
+    from summarizer.utils.config import HParameters
+
+    hps_init = {
+        "model": cfg["model"],
+        "splits_files": list(cfg["splits_files"]),
+        "epochs": cfg.get("epochs"),
+        "lr": cfg.get("lr"),
+        "weight_decay": cfg.get("weight_decay"),
+        "test_every_epochs": cfg.get("test_every_epochs"),
+        "use_cuda": "no",
+        "log_level": "error",
+        "extra_params": cfg.get("extra_params", {}),
+    }
+    hps = HParameters()
+    hps.load_from_args(hps_init)
+
+    t0 = time.time()
+    results = train(hps)
+    wall = time.time() - t0
+
+    out = {
+        "stack": "reference-torch-cpu",
+        "name": cfg["name"],
+        "model": cfg["model"],
+        "epochs": cfg.get("epochs"),
+        "seed": seed,
+        "wall_s": round(wall, 1),
+        "results": [
+            {
+                "splits_file": os.path.basename(sf),
+                "corr": round(float(c), 5),
+                "avg_f1": round(float(a), 5),
+                "max_f1": round(float(m), 5),
+            }
+            for sf, c, a, m in results
+        ],
+    }
+    print("PARITY_RESULT " + json.dumps(out), flush=True)
+    hps.writer.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv)

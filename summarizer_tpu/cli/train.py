@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--log-level", choices=["critical", "error", "warning", "info", "debug"],
                    default="info")
     p.add_argument("--datasets", type=str, help="Comma separated dataset h5 paths")
+    p.add_argument("--correlation-metric", choices=["spearmanr", "kendalltau"],
+                   help="Rank correlation for score eval (both run on device)")
     p.add_argument("--batch-size", type=int, help="Videos per optimizer step (1 = reference dynamics)")
     p.add_argument("--data-parallel", type=int, help="Shard videos over N devices")
     p.add_argument("--seed", type=int, help="PRNG seed")

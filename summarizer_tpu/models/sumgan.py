@@ -20,13 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.nn.core import linear, linear_init
-from summarizer_tpu.nn.rnn import (
-    lstm_apply,
-    lstm_cell_step,
-    lstm_init,
-    masked_reverse,
-    precast_stack,
-)
+from summarizer_tpu.nn.rnn import lstm_apply, lstm_init, masked_reverse
+from summarizer_tpu.nn.rnn_lean import dlstm_decode_lean
 
 DEFAULTS = dict(
     input_size=1024,
@@ -78,19 +73,13 @@ def dlstm_init(rng, d, hidden, layers):
 
 def dlstm_apply(p, t_max: int, h0, c0, lengths):
     """Decode t_max steps from (h0, c0); x_hat reconstructs the reversed
-    input (sumgan.py:98-115), re-oriented per true length."""
-    b = h0.shape[1]
-    hidden = h0.shape[2]
-    lstm_c = precast_stack(p["lstm"])  # cast once, outside the decode scan
+    input (sumgan.py:98-115), re-oriented per true length.
 
-    def step(carry, _):
-        x, h, c = carry
-        x2, (h2, c2) = lstm_cell_step(lstm_c, x, h, c)
-        return (x2, h2, c2), linear(p["recons"], x2)
-
-    x0 = jnp.asarray(np.zeros((b, hidden), np.float32))
-    _, outs = jax.lax.scan(step, (x0, h0, c0), None, length=t_max)
-    outs = jnp.swapaxes(outs, 0, 1)  # (B, T, D)
+    The recurrence runs through the memory-lean custom-VJP decoder
+    (nn/rnn_lean.dlstm_decode_lean); the reconstruction linear is applied to
+    all steps at once as a single MXU matmul outside the scan."""
+    tops = dlstm_decode_lean(p["lstm"], t_max, h0, c0)  # (B, T, H)
+    outs = linear(p["recons"], tops)  # (B, T, D)
     return masked_reverse(outs, lengths)
 
 

@@ -167,6 +167,13 @@ def _lstm_layer_bidir(pf, pb, x, lengths):
     return out, (h_last[0], c_last[0]), (h_last[1], c_last[1])
 
 
+#: Route LSTM layers through the memory-lean custom-VJP implementation
+#: (nn/rnn_lean.py).  Forward math is identical; backward saves ~6x less
+#: residual memory, which is what bounds large video groups.  Tests flip
+#: this to compare both paths.
+USE_LEAN_LSTM = True
+
+
 def _stack_apply(params, x, lengths, layer_fn, carry_state):
     """Run the stacked (bi)directional recurrence.
 
@@ -175,17 +182,31 @@ def _stack_apply(params, x, lengths, layer_fn, carry_state):
     """
     if lengths is None:
         lengths = np.full((x.shape[0],), x.shape[1], np.int32)
+    is_lstm = layer_fn is _lstm_layer
+    if is_lstm and USE_LEAN_LSTM:
+        from summarizer_tpu.nn import rnn_lean
+
+        uni_fn = rnn_lean.lstm_layer_lean
+    else:
+        uni_fn = layer_fn
     h_lasts, c_lasts = [], []
     out = x
     for entry in params["layers"]:
-        if "bwd" in entry and layer_fn is _lstm_layer:
-            out, (hf, cf), (hb, cb) = _lstm_layer_bidir(
-                entry["fwd"], entry["bwd"], out, lengths
-            )
+        if "bwd" in entry and is_lstm:
+            if USE_LEAN_LSTM:
+                from summarizer_tpu.nn import rnn_lean
+
+                out, (hf, cf), (hb, cb) = rnn_lean.lstm_layer_lean_bidir(
+                    entry["fwd"], entry["bwd"], out, lengths, masked_reverse
+                )
+            else:
+                out, (hf, cf), (hb, cb) = _lstm_layer_bidir(
+                    entry["fwd"], entry["bwd"], out, lengths
+                )
             h_lasts += [hf, hb]
             c_lasts += [cf, cb]
             continue
-        fwd, (hf, cf) = layer_fn(entry["fwd"], out, lengths)
+        fwd, (hf, cf) = uni_fn(entry["fwd"], out, lengths)
         h_lasts.append(hf)
         c_lasts.append(cf)
         if "bwd" in entry:

@@ -1,0 +1,336 @@
+"""Memory-lean LSTM layers via custom VJP.
+
+XLA's autodiff of a `lax.scan` LSTM stores the gate activations it needs for
+the backward pass in f32 — roughly six (T, B, H) f32 arrays per layer.  At
+SumGAN scale (H=2048, T=640, video groups of 32+) that exceeds HBM and caps
+the throughput lever that matters for weight-streaming-bound recurrences:
+batch rows per weight read (BENCH_NOTES.md §3).
+
+These layers instead save exactly three per-step tensors — pre-activation
+gates ``z`` (B, 4H), ``h`` and ``c`` — in the *compute* dtype (bf16 under the
+engine policy, f32 otherwise), and reconstruct everything else in a reverse
+scan:
+
+  forward:   z_t = x_t W_ih + h_{t-1} W_hh + b;  (i,f,g,o) = σ/tanh(z_t)
+             c_t = f·c_{t-1} + i·g;  h_t = o·tanh(c_t)
+  backward:  per-step VPU math re-derives gate grads from z_t, c_{t-1}, c_t;
+             the only in-scan matmul is the mandatory recurrent term
+             dh_{t-1} = dz_t W_hh^T; weight grads become two large post-scan
+             matmuls dW_ih = x^T dz, dW_hh = h_prev^T dz (MXU-friendly).
+
+Per big layer this is ~6x less residual memory than XLA's choice, and the
+backward adds no weight streaming beyond the mandatory W_hh^T read per step.
+
+The math is identical to nn/rnn.py's `_lstm_layer` (torch cell semantics,
+gate order i,f,g,o); `tests/test_rnn_lean.py` asserts forward equality and
+gradient parity against plain autodiff.
+
+A self-feeding multi-layer decoder (`dlstm_decode`) is included for SumGAN's
+dLSTM (ref: summarizer/models/sumgan.py:74-115), where step t's layer-0 input
+is the top layer's output at t-1, and gradients must also flow to the initial
+(h0, c0) — the VAE encoder's output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summarizer_tpu.nn.policy import cast_rnn_operands
+
+F32 = jnp.float32
+
+
+def _compute_dtype(w):
+    """The matmul/residual dtype: whatever the policy casts weights to."""
+    return cast_rnn_operands(w, w)[1].dtype
+
+
+def _gates(z):
+    i, f, g, o = jnp.split(z.astype(F32), 4, axis=-1)
+    return jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g), jax.nn.sigmoid(o)
+
+
+def _cell_bwd(z_t, c_prev, c_t, dh, dc_carry):
+    """Gate gradients for one step. All f32. Returns (dz, dc_prev)."""
+    i, f, g, o = _gates(z_t)
+    tanh_c = jnp.tanh(c_t.astype(F32))
+    dc = dc_carry + dh * o * (1.0 - tanh_c * tanh_c)
+    dz_o = dh * tanh_c * o * (1.0 - o)
+    dz_i = dc * g * i * (1.0 - i)
+    dz_f = dc * c_prev.astype(F32) * f * (1.0 - f)
+    dz_g = dc * i * (1.0 - g * g)
+    dz = jnp.concatenate([dz_i, dz_f, dz_g, dz_o], axis=-1)
+    return dz, dc * f
+
+
+# =============================================================== single layer
+# Core signature: (w_ih (S,D,4H), w_hh (S,H,4H), b (S,4H), x (S,B,T,D)) ->
+# (hs (S,B,T,H), cs (S,B,T,H)).  S is a leading "stack" axis so one scan can
+# carry both directions of a bidirectional layer (S=2) or a plain layer (S=1).
+
+
+def _layer_fwd_impl(w_ih, w_hh, b, x):
+    cd = _compute_dtype(w_hh)
+    s, bsz, t, _ = x.shape
+    h4 = w_hh.shape[-1]
+    hidden = h4 // 4
+    # Stored in the compute dtype: at bf16 this halves the (S,B,T,4H) buffer
+    # that lives across the whole scan.
+    xg = (
+        jnp.einsum(
+            "sbti,sio->sbto", x.astype(cd), w_ih.astype(cd),
+            preferred_element_type=F32,
+        )
+        + b[:, None, None, :]
+    ).astype(cd)
+    w_hh_c = w_hh.astype(cd)
+
+    def step(carry, xg_t):  # xg_t: (S, B, 4H)
+        h, c = carry
+        z = xg_t.astype(F32) + jnp.einsum(
+            "sbh,sho->sbo", h.astype(cd), w_hh_c, preferred_element_type=F32
+        )
+        i, f, g, o = _gates(z)
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        return (h2, c2), (z.astype(cd), h2, c2)
+
+    zeros = jnp.asarray(np.zeros((s, bsz, hidden), np.float32))
+    _, (zs, hs, cs) = jax.lax.scan(step, (zeros, zeros), jnp.moveaxis(xg, 2, 0))
+    # time-major (T, S, B, ...) -> (S, B, T, ...)
+    mv = lambda a: jnp.moveaxis(a, 0, 2)
+    return mv(hs), mv(cs), mv(zs)
+
+
+@jax.custom_vjp
+def _lstm_layer_core(w_ih, w_hh, b, x):
+    hs, cs, _ = _layer_fwd_impl(w_ih, w_hh, b, x)
+    return hs, cs
+
+
+def _lstm_layer_core_fwd(w_ih, w_hh, b, x):
+    cd = _compute_dtype(w_hh)
+    hs, cs, zs = _layer_fwd_impl(w_ih, w_hh, b, x)
+    # h is NOT saved: backward recomputes h = sigma(z_o) * tanh(c) on the VPU,
+    # trading one elementwise pass for a (S,B,T,H) residual.
+    res = (w_ih, w_hh, x.astype(cd), zs, cs.astype(cd))
+    return (hs, cs), res
+
+
+def _recompute_h(zs, cs):
+    """h = sigma(z_o) * tanh(c), elementwise from the saved residuals."""
+    o = jax.nn.sigmoid(zs[..., -zs.shape[-1] // 4 :].astype(F32))
+    return o * jnp.tanh(cs.astype(F32))
+
+
+def _lstm_layer_core_bwd(res, g):
+    dhs, dcs = g  # (S, B, T, H) f32 cotangents
+    w_ih, w_hh, x_c, zs, cs_c = res
+    cd = _compute_dtype(w_hh)
+    w_hh_c = w_hh.astype(cd)
+    s, bsz, t, hidden = cs_c.shape
+
+    tm = lambda a: jnp.moveaxis(a, 2, 0)  # (S,B,T,·) -> (T,S,B,·)
+    zs_t, cs_t = tm(zs), tm(cs_c)
+    c_prev_t = jnp.concatenate(
+        [jnp.zeros_like(cs_t[:1]), cs_t[:-1]], axis=0
+    )
+    dhs_t, dcs_t = tm(dhs), tm(dcs)
+
+    def bstep(carry, inp):
+        dh_c, dc_c = carry
+        z_t, c_prev, c_t, dh_out, dc_out = inp
+        dz, dc_prev = _cell_bwd(z_t, c_prev, c_t, dh_out + dh_c, dc_c + dc_out)
+        dh_prev = jnp.einsum(
+            "sbo,sho->sbh", dz.astype(cd), w_hh_c, preferred_element_type=F32
+        )
+        return (dh_prev, dc_prev), dz.astype(cd)
+
+    zeros = jnp.zeros((s, bsz, hidden), F32)
+    _, dzs_t = jax.lax.scan(
+        bstep, (zeros, zeros), (zs_t, c_prev_t, cs_t, dhs_t, dcs_t), reverse=True
+    )
+    dzs = jnp.moveaxis(dzs_t, 0, 2)  # (S, B, T, 4H)
+
+    hs_c = _recompute_h(zs, cs_c).astype(cd)
+    h_prev = jnp.concatenate(
+        [jnp.zeros_like(hs_c[:, :, :1]), hs_c[:, :, :-1]], axis=2
+    )
+    dw_ih = jnp.einsum("sbti,sbto->sio", x_c, dzs, preferred_element_type=F32)
+    dw_hh = jnp.einsum("sbth,sbto->sho", h_prev, dzs, preferred_element_type=F32)
+    db = dzs.astype(F32).sum(axis=(1, 2))
+    dx = jnp.einsum(
+        "sbto,sio->sbti", dzs, w_ih.astype(cd), preferred_element_type=F32
+    )
+    return dw_ih.astype(w_ih.dtype), dw_hh.astype(w_hh.dtype), db, dx
+
+
+_lstm_layer_core.defvjp(_lstm_layer_core_fwd, _lstm_layer_core_bwd)
+
+
+def lstm_layer_lean(p, x, lengths):
+    """Drop-in for nn.rnn._lstm_layer: (B,T,D) -> (hs, (h_last, c_last))."""
+    t = x.shape[1]
+    hs, cs = _lstm_layer_core(
+        p["w_ih"][None], p["w_hh"][None], (p["b_ih"] + p["b_hh"])[None], x[None]
+    )
+    hs, cs = hs[0], cs[0]
+    last = jnp.clip(lengths - 1, 0, t - 1)
+    h_last = jnp.take_along_axis(hs, last[:, None, None], axis=1)[:, 0]
+    c_last = jnp.take_along_axis(cs, last[:, None, None], axis=1)[:, 0]
+    return hs, (h_last, c_last)
+
+
+def lstm_layer_lean_bidir(pf, pb, x, lengths, masked_reverse):
+    """Drop-in for nn.rnn._lstm_layer_bidir (both directions in one scan)."""
+    t = x.shape[1]
+    xs = jnp.stack([x, masked_reverse(x, lengths)])  # (2, B, T, D)
+    w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]])
+    w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])
+    b = jnp.stack([pf["b_ih"] + pf["b_hh"], pb["b_ih"] + pb["b_hh"]])
+    hs, cs = _lstm_layer_core(w_ih, w_hh, b, xs)  # (2, B, T, H)
+    last = jnp.clip(lengths - 1, 0, t - 1)
+
+    def gather_last(a):
+        return jnp.take_along_axis(a, last[None, :, None, None], axis=2)[:, :, 0]
+
+    h_last, c_last = gather_last(hs), gather_last(cs)
+    out = jnp.concatenate([hs[0], masked_reverse(hs[1], lengths)], axis=-1)
+    return out, (h_last[0], c_last[0]), (h_last[1], c_last[1])
+
+
+# ============================================================ dLSTM decoder
+# Self-feeding stacked decoder: layer-0 input at step t is the TOP layer's
+# output at t-1 (x0 = 0), all layers square H -> H.  Weight layout:
+# w_ih/w_hh (L, H, 4H), b (L, 4H).  Gradients flow to (h0, c0) — the VAE
+# encoder heads — via the reverse-scan carries.
+
+
+def _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max):
+    cd = _compute_dtype(w_hh)
+    layers, bsz, hidden = h0.shape
+    w_ih_c, w_hh_c = w_ih.astype(cd), w_hh.astype(cd)
+
+    def step(carry, _):
+        top, h, c = carry
+        hs_l, cs_l, zs_l = [], [], []
+        x_in = top
+        for li in range(layers):
+            z = (
+                jnp.dot(x_in.astype(cd), w_ih_c[li], preferred_element_type=F32)
+                + jnp.dot(h[li].astype(cd), w_hh_c[li], preferred_element_type=F32)
+                + b[li]
+            )
+            i, f, g, o = _gates(z)
+            c2 = f * c[li] + i * g
+            h2 = o * jnp.tanh(c2)
+            zs_l.append(z.astype(cd))
+            hs_l.append(h2)
+            cs_l.append(c2)
+            x_in = h2
+        h_new, c_new = jnp.stack(hs_l), jnp.stack(cs_l)
+        return (x_in, h_new, c_new), (jnp.stack(zs_l), h_new, c_new)
+
+    top0 = jnp.asarray(np.zeros((bsz, hidden), np.float32))
+    _, (zs, hs, cs) = jax.lax.scan(
+        step, (top0, h0, c0), None, length=t_max
+    )
+    return zs, hs, cs  # (T, L, B, ·)
+
+
+def _dlstm_core(w_ih, w_hh, b, h0, c0, t_max: int):
+    _, hs, _ = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
+    return jnp.swapaxes(hs[:, -1], 0, 1)  # tops (B, T, H)
+
+
+_dlstm_core = jax.custom_vjp(_dlstm_core, nondiff_argnums=(5,))
+
+
+def _dlstm_core_fwd(w_ih, w_hh, b, h0, c0, t_max):
+    cd = _compute_dtype(w_hh)
+    zs, hs, cs = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
+    tops = jnp.swapaxes(hs[:, -1], 0, 1)
+    # hs not saved; recomputed from (z, c) in the backward (see layer core).
+    res = (w_ih, w_hh, h0.astype(cd), c0.astype(cd), zs, cs.astype(cd))
+    return tops, res
+
+
+def _dlstm_core_bwd(t_max, res, dtops):
+    w_ih, w_hh, h0_c, c0_c, zs, cs_c = res
+    cd = _compute_dtype(w_hh)
+    w_ih_c, w_hh_c = w_ih.astype(cd), w_hh.astype(cd)
+    layers, bsz, hidden = h0_c.shape
+
+    hs_c = _recompute_h(zs, cs_c).astype(cd)  # (T, L, B, H)
+    h_prev = jnp.concatenate([h0_c[None], hs_c[:-1]], axis=0)  # (T, L, B, H)
+    c_prev = jnp.concatenate([c0_c[None], cs_c[:-1]], axis=0)
+    # layer-0 input at step t = top output at t-1 (zeros at t=0)
+    top_prev = jnp.concatenate(
+        [jnp.zeros_like(hs_c[:1, -1]), hs_c[:-1, -1]], axis=0
+    )  # (T, B, H)
+    dtops_t = jnp.swapaxes(dtops, 0, 1)  # (T, B, H)
+
+    def bstep(carry, inp):
+        dh_c, dc_c, dtop_c = carry  # (L,B,H), (L,B,H), (B,H)
+        z_t, c_prev_t, c_t, dtop_out = inp
+        dh_list = [dh_c[li] for li in range(layers)]
+        dh_list[-1] = dh_list[-1] + dtop_out + dtop_c
+        dzs, dcs_new = [None] * layers, [None] * layers
+        dx_in = None
+        for li in range(layers - 1, -1, -1):
+            dh = dh_list[li] if dx_in is None else dh_list[li] + dx_in
+            dz, dc_prev = _cell_bwd(z_t[li], c_prev_t[li], c_t[li], dh, dc_c[li])
+            dcs_new[li] = dc_prev
+            dzs[li] = dz
+            dx_in = jnp.dot(
+                dz.astype(cd), w_ih_c[li].T, preferred_element_type=F32
+            )
+        dh_prev = jnp.stack(
+            [
+                jnp.dot(dzs[li].astype(cd), w_hh_c[li].T, preferred_element_type=F32)
+                for li in range(layers)
+            ]
+        )
+        # dx_in now holds the grad w.r.t. layer-0's input = top_{t-1}
+        return (dh_prev, jnp.stack(dcs_new), dx_in), jnp.stack(dzs).astype(cd)
+
+    zeros_l = jnp.zeros((layers, bsz, hidden), F32)
+    (dh0, dc0, dtop0), dzs_t = jax.lax.scan(
+        bstep,
+        (zeros_l, zeros_l, jnp.zeros((bsz, hidden), F32)),
+        (zs, c_prev, cs_c, dtops_t),
+        reverse=True,
+    )
+    del dtop0  # grad w.r.t. the constant zero first input
+
+    # x_in per (t, layer): layer 0 <- top_prev, layer li>0 <- hs[:, li-1]
+    x_in = jnp.concatenate([top_prev[:, None], hs_c[:, :-1]], axis=1)  # (T,L,B,H)
+    dw_ih = jnp.einsum("tlbh,tlbo->lho", x_in, dzs_t, preferred_element_type=F32)
+    dw_hh = jnp.einsum("tlbh,tlbo->lho", h_prev, dzs_t, preferred_element_type=F32)
+    db = dzs_t.astype(F32).sum(axis=(0, 2))
+    return (
+        dw_ih.astype(w_ih.dtype),
+        dw_hh.astype(w_hh.dtype),
+        db,
+        dh0,
+        dc0,
+    )
+
+
+_dlstm_core.defvjp(_dlstm_core_fwd, _dlstm_core_bwd)
+
+
+def dlstm_decode_lean(params, t_max: int, h0, c0):
+    """Decode t_max steps from (h0, c0): returns top-layer outputs (B, T, H).
+
+    ``params`` is an nn.rnn stack ({"layers": [{"fwd": cell}, ...]}, uni).
+    The reconstruction linear is intentionally NOT applied here — callers run
+    it as one big post-scan matmul.
+    """
+    cells = [entry["fwd"] for entry in params["layers"]]
+    w_ih = jnp.stack([c["w_ih"] for c in cells])
+    w_hh = jnp.stack([c["w_hh"] for c in cells])
+    b = jnp.stack([c["b_ih"] + c["b_hh"] for c in cells])
+    return _dlstm_core(w_ih, w_hh, b, h0, c0, t_max)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from summarizer_tpu.ops.ranking import spearman_masked
+from summarizer_tpu.ops.ranking import kendall_masked, spearman_masked
 
 
 class EvalBatch(NamedTuple):
@@ -53,11 +53,12 @@ def upsample_step(scores, positions, n_steps, n_frames, out_frames: int):
     return jnp.where(valid, scores[jnp.clip(idx, 0, scores.shape[0] - 1)], 0.0)
 
 
-def eval_scores_video(frame_scores, user_scores, n_users, n_frames):
-    """Mean Spearman rho of machine frame scores vs each annotator
-    (ref: models/__init__.py:60-86)."""
+def eval_scores_video(frame_scores, user_scores, n_users, n_frames, metric="spearmanr"):
+    """Mean rank correlation of machine frame scores vs each annotator
+    (ref: models/__init__.py:60-86); ``metric``: spearmanr | kendalltau."""
     fmask = np.arange(frame_scores.shape[0]) < n_frames
-    rhos = jax.vmap(lambda u: spearman_masked(frame_scores, u, fmask))(user_scores)
+    corr_fn = kendall_masked if metric == "kendalltau" else spearman_masked
+    rhos = jax.vmap(lambda u: corr_fn(frame_scores, u, fmask))(user_scores)
     umask = np.arange(user_scores.shape[0]) < n_users
     return jnp.sum(jnp.where(umask, rhos, 0.0)) / jnp.maximum(n_users, 1)
 
@@ -169,7 +170,7 @@ def eval_summary_video(machine_summary, user_summary, n_users, n_frames):
 
 @partial(
     jax.jit,
-    static_argnames=("proportion", "method", "max_capacity", "out_frames"),
+    static_argnames=("proportion", "method", "max_capacity", "out_frames", "metric"),
 )
 def evaluate_batch(
     scores: jnp.ndarray,  # (B, S) per-step model scores
@@ -179,6 +180,7 @@ def evaluate_batch(
     method: str = "knapsack",
     max_capacity: int,
     out_frames: int,
+    metric: str = "spearmanr",
 ):
     """Full test-fold evaluation on device.
 
@@ -188,7 +190,7 @@ def evaluate_batch(
 
     def one(video_scores, pos, n_steps, n_frames, cps, nfps, n_segs, uscores, usumm, n_users):
         fs = upsample_step(video_scores, pos, n_steps, n_frames, out_frames)
-        corr = eval_scores_video(fs, uscores, n_users, n_frames)
+        corr = eval_scores_video(fs, uscores, n_users, n_frames, metric)
 
         seg = segment_means(fs, cps, n_segs)
         limit = jnp.floor(n_frames.astype(jnp.float32) * proportion).astype(jnp.int32)

@@ -52,6 +52,55 @@ def pearson_masked(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.nda
     return cov / jnp.sqrt(va * vb)  # 0/0 -> NaN, matching scipy
 
 
+def kendall_masked(
+    a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray, block: int = 512
+) -> jnp.ndarray:
+    """Kendall's tau-b over the valid entries of two 1D arrays, on device.
+
+    tau_b = (P - Q) / sqrt((n0 - Tx)(n0 - Ty)) with average-tie corrections,
+    matching ``scipy.stats.kendalltau`` (the reference's host path,
+    summarizer/utils/eval.py:60-63; its double negation through rankdata is
+    the identity on tau).  Pairwise O(F^2) sign products, evaluated in
+    (block, F) tiles via ``lax.scan`` so frame-resolution videos (F ~ 10^4)
+    never materialize an (F, F) matrix.
+    """
+    f = a.shape[0]
+    nblk = -(-f // block)
+    pad = nblk * block - f
+    af = jnp.where(mask, a.astype(jnp.float32), 0.0)
+    bf = jnp.where(mask, b.astype(jnp.float32), 0.0)
+    mf = mask.astype(jnp.float32)
+    if pad:
+        zp = np.zeros(pad, np.float32)
+        af = jnp.concatenate([af, zp])
+        bf = jnp.concatenate([bf, zp])
+        mf = jnp.concatenate([mf, zp])
+
+    starts = np.arange(nblk, dtype=np.int32) * block
+
+    def tile(carry, i0):
+        pq, tx, ty = carry
+        ab = jax.lax.dynamic_slice(af, (i0,), (block,))
+        bb = jax.lax.dynamic_slice(bf, (i0,), (block,))
+        mb = jax.lax.dynamic_slice(mf, (i0,), (block,))
+        da = ab[:, None] - af[None, :]
+        db = bb[:, None] - bf[None, :]
+        m2 = mb[:, None] * mf[None, :]
+        pq = pq + jnp.sum(jnp.sign(da) * jnp.sign(db) * m2)
+        tx = tx + jnp.sum((da == 0.0) * m2)
+        ty = ty + jnp.sum((db == 0.0) * m2)
+        return (pq, tx, ty), None
+
+    (pq, tx, ty), _ = jax.lax.scan(
+        tile, (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)), starts
+    )
+    n = mf.sum()
+    n0 = n * (n - 1.0) / 2.0
+    tx = (tx - n) / 2.0  # remove the diagonal, halve ordered -> unordered
+    ty = (ty - n) / 2.0
+    return (pq / 2.0) / jnp.sqrt((n0 - tx) * (n0 - ty))  # 0/0 -> NaN as scipy
+
+
 def spearman_masked(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Spearman rho with average ties over the valid entries of two 1D arrays.
 

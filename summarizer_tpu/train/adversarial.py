@@ -34,6 +34,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from summarizer_tpu.data.batching import pack_train
@@ -100,6 +101,16 @@ def masked_mean_rows(v, mask):
     return (v * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
 
 
+def _noise_mul(noise, key, x):
+    """x * N(0,1) during the discriminator's input-noise epochs
+    (sumgan.py:465-468).  ``noise`` may be a host bool (split-phase path,
+    static: the no-noise variant never materializes the normals) or a traced
+    bool (fused scan path)."""
+    if isinstance(noise, (bool, int)) and not isinstance(noise, jnp.ndarray):
+        return x * jax.random.normal(key, x.shape) if noise else x
+    return jnp.where(noise, x * jax.random.normal(key, x.shape), x)
+
+
 def _perm_chunks(perm, chunk):
     """Split the epoch's group sequence into device-execution-sized chunks
     (the tail chunk is smaller; it costs one extra compile)."""
@@ -130,6 +141,11 @@ class _AdversarialBase(Engine):
         feats = jax.device_put(pack.features)
         targets = jax.device_put(pack.targets)
         mask = jax.device_put(pack.mask)
+        #: host-side true lengths, for length-bucketed group padding in the
+        #: split-phase path (weight streaming of the recurrences scales with
+        #: the padded T, so trimming groups to their own max saves both time
+        #: and residual memory).
+        self._host_lengths = pack.mask.sum(-1).astype(int)
 
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
@@ -164,9 +180,17 @@ class _AdversarialBase(Engine):
         n = len(train_keys)
         bs, chunk = self._sizes(n)
         epoch_noise = cfg["epoch_noise"]
+        bucketed = bool(int(self.hp.get("bucket", bs >= 24)))
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)
+            if bucketed:
+                # Stable-sort the shuffled order by length bucket (128-step
+                # granularity): same-bucket videos stay shuffled, groups end
+                # up length-homogeneous, and each group's pad is its own max.
+                p = np.asarray(perm)
+                bucket_ids = (self._host_lengths[p] + 127) // 128
+                perm = jnp.asarray(p[np.argsort(bucket_ids, kind="stable")])
             groups = perm[: (n // bs) * bs].reshape(-1, bs)
             acc, count = None, 0
             for sel in _perm_chunks(groups, chunk):
@@ -251,9 +275,31 @@ class _AdversarialBase(Engine):
         (loss_se(p, x, y, m, key), loss_d(p, x, m, key),
         loss_c(p, x, m, key, noise)); each phase re-draws its own noise.
         The video gather happens inside the traced program so the packed
-        tensors stay ordinary jit arguments."""
+        tensors stay ordinary jit arguments.
+
+        At large video groups the per-step scan residuals of the 2048-wide
+        recurrences exceed HBM, so each phase loss is rematerialized
+        (``remat`` extra-param, default on for groups >= 16): backward
+        recomputes the forward instead of storing residuals.  The nets are
+        HBM-weight-streaming-bound, so the recompute adds ~1 forward of
+        streaming per phase while unlocking the ~linear videos/s scaling
+        with group size."""
         opt_se, opt_d, opt_c = opts
         loss_se, loss_d, loss_c = phase_losses
+        bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
+        # Large groups: three separately-jitted phase programs instead of one
+        # fused scan.  The fused program trips an XLA HLO-pass crash at these
+        # shapes (hlo_instruction.cc "Check failed: it != users_.end()"), and
+        # with >= 2 groups per epoch at most, the scan buys nothing anyway.
+        if bool(int(self.hp.get("split_phases", bs >= 24))):
+            return self._make_epoch_split(
+                (loss_se, loss_d, loss_c), opts
+            )
+        remat = bool(int(self.hp.get("remat", 0)))
+        if remat:
+            loss_se = jax.checkpoint(loss_se)
+            loss_d = jax.checkpoint(loss_d)
+            loss_c = jax.checkpoint(loss_c, static_argnums=())
 
         @jax.jit
         def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
@@ -289,6 +335,65 @@ class _AdversarialBase(Engine):
                 group_step, (params, opt_states), xs
             )
             return params, opt_states, tuple(s.mean() for s in stats)
+
+        return epoch_chunk
+
+    def _make_epoch_split(self, phase_losses, opts):
+        """Same contract as `_make_epoch`'s epoch_chunk, built from three
+        separately-jitted phase steps with a host-side loop over groups."""
+        opt_se, opt_d, opt_c = opts
+        loss_se, loss_d, loss_c = phase_losses
+
+        def phase_step(loss, opt, n_extra, static_argnums=()):
+            def step(params, opt_state, *args):
+                out, grads = jax.value_and_grad(loss, has_aux=n_extra)(params, *args)
+                loss_val, aux = out if n_extra else (out, None)
+                upd, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, upd), opt_state, loss_val, aux
+
+            return jax.jit(step, static_argnums=static_argnums)
+
+        step_se = phase_step(loss_se, opt_se, False)
+        step_d = phase_step(loss_d, opt_d, False)
+        # noise flag (arg 5: params, opt_state, x, m, key, noise) is static —
+        # it is a host-known per-epoch bool, and tracing it as data would
+        # materialize the three (B,T,D) noise tensors in no-noise epochs too.
+        step_c = phase_step(loss_c, opt_c, True, static_argnums=(5,))
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(4,))
+        def gather(feats, targets, mask, sel, bt):
+            return feats[sel, :bt], targets[sel, :bt], mask[sel, :bt]
+
+        lens = getattr(self, "_host_lengths", None)
+        t_full = int(self.t_max)
+
+        def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
+            s_se, s_d, s_c = opt_states
+            stats_acc = None
+            g = int(sel_groups.shape[0])
+            keys = jax.random.split(rng, g)
+            sel_np = np.asarray(sel_groups)
+            for gi in range(g):
+                # Per-group pad: the group's own max length, rounded up to
+                # 128 steps (one compile per distinct bucket, cached).
+                if lens is not None:
+                    bt = int(min(t_full, ((lens[sel_np[gi]].max() + 127) // 128) * 128))
+                else:
+                    bt = t_full
+                x, y, m = gather(feats, targets, mask, sel_groups[gi], bt)
+                k1, k2, k3 = jax.random.split(keys[gi], 3)
+                params, s_se, lse, _ = step_se(params, s_se, x, y, m, k1)
+                params, s_d, ld, _ = step_d(params, s_d, x, m, k2)
+                params, s_c, lc, probs = step_c(params, s_c, x, m, k3, noise)
+                stats = (lse, ld, lc, *probs)
+                stats_acc = (
+                    stats
+                    if stats_acc is None
+                    else tuple(a + b for a, b in zip(stats_acc, stats))
+                )
+            return params, (s_se, s_d, s_c), tuple(s / g for s in stats_acc)
 
         return epoch_chunk
 
@@ -357,9 +462,9 @@ class SumGANEngine(_AdversarialBase):
         def loss_c(p, x, m, key, noise):
             k1, k3, k4, k5 = jax.random.split(key, 4)
             x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, k1)
-            x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
-            x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
-            x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
+            x_in = _noise_mul(noise, k3, x)
+            x_hat = _noise_mul(noise, k4, x_hat)
+            x_hat_p = _noise_mul(noise, k5, x_hat_p)
             (pr, _), (pf, _), (pu, _) = sg.discriminate_many(p, [x_in, x_hat, x_hat_p], m)
             ones = jnp.ones_like(pr)
             loss = (
@@ -433,9 +538,9 @@ class SumGANAttEngine(_AdversarialBase):
             k1, k2, k3, k4, k5 = jax.random.split(key, 5)
             x_hat, _ = sga.summarizer_forward(p, x, m, k1, hp)
             x_hat_p, _ = sga.summarizer_forward(p, x, m, k2, hp, uniform=True)
-            x_in = jnp.where(noise, jax.random.normal(k3, x.shape) * x, x)
-            x_hat = jnp.where(noise, x_hat * jax.random.normal(k4, x.shape), x_hat)
-            x_hat_p = jnp.where(noise, x_hat_p * jax.random.normal(k5, x.shape), x_hat_p)
+            x_in = _noise_mul(noise, k3, x)
+            x_hat = _noise_mul(noise, k4, x_hat)
+            x_hat_p = _noise_mul(noise, k5, x_hat_p)
             (pr, _), (pf, _), (pu, _) = sg.discriminate_many(
                 p, [x_in, x_hat, x_hat_p], m
             )

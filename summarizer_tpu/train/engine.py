@@ -57,9 +57,13 @@ class Engine:
         prop = float(self.hps.summary_proportion)
         method = str(self.hps.selection_algorithm)
         corr_metric = str(getattr(self.hps, "correlation_metric", "spearmanr"))
-        # Kendall's tau-b is O(n^2) pairwise at frame resolution; it runs on
-        # the host oracle (scipy), like the reference (eval.py:60-63).
-        use_device = bool(self.hps.eval_device) and corr_metric == "spearmanr"
+        # Both metrics run on device: Spearman as rank-Pearson, Kendall tau-b
+        # as blocked O(F^2) pairwise sign sums (ops/ranking.py:kendall_masked,
+        # scipy-parity tested) — no silent host fallback.
+        use_device = bool(self.hps.eval_device) and corr_metric in (
+            "spearmanr",
+            "kendalltau",
+        )
         s, g, u, f, cap = self.eval_dims
         batch, feats = pack_eval(records, s, g, u, f)
         batch = jax.device_put(batch)
@@ -83,6 +87,7 @@ class Engine:
                     method=method,
                     max_capacity=cap,
                     out_frames=f,
+                    metric=corr_metric,
                 )
                 return corr.mean(), af1.mean(), mf1.mean()
 

@@ -184,6 +184,9 @@ class ReinforceEngine(Engine):
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
+        #: per-epoch mean diversity+representativeness reward of the last
+        #: trained fold; convergence tests assert it rises.
+        self.reward_history = []
         n = len(train_keys)
         # Bound single device-execution time on large folds (LOL: 255 train
         # videos); one dispatch per chunk, same compiled program.
@@ -202,6 +205,7 @@ class ReinforceEngine(Engine):
                 rewards.append(float(reward_c) * sel.shape[0])
             loss = sum(losses) / n
             reward = sum(rewards) / n
+            self.reward_history.append(float(reward))
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   "
                 f"Reward: {float(reward):.05f}  Loss: {float(loss):.05f}"
