@@ -39,9 +39,10 @@ DEFAULTS = dict(
     weight_init="xavier",
     dropout=0.5,
     flash="auto",  # Pallas blockwise attention: "auto" | 1 | 0.  "auto" uses
-    # it whenever attention-dropout is inactive (eval, or dropout=0) — the
-    # kernel streams k/v blocks and, with an aperture, skips out-of-band
-    # blocks entirely (ops/flash_attention.py).
+    # the kernel for eval AND training: attention dropout runs in-kernel via
+    # a stateless hash mask with torch semantics (ops/flash_attention.py), so
+    # the default dropout-0.5 configuration benefits from the banded grid.
+    # flash=0 forces the dense XLA path (jax.random dropout).
 )
 
 
@@ -91,7 +92,7 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     dropout_active = train and rate > 0.0
     flash = hp.get("flash", "auto")
     want_flash = True if flash == "auto" else bool(int(flash))
-    if want_flash and not dropout_active:
+    if want_flash:
         from summarizer_tpu.ops.flash_attention import flash_attention
 
         lengths = (
@@ -99,8 +100,17 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
             if mask is not None
             else np.full((x.shape[0],), t, np.int32)
         )
+        if dropout_active:
+            seeds = jax.random.randint(
+                k[0], (x.shape[0],), 0, np.int32(2**31 - 1), dtype=jnp.int32
+            )
+            drate = rate
+        else:
+            seeds = None
+            drate = 0.0
         ctx = flash_attention(
-            q, kk, v, lengths, float(scale), aperture, bool(hp["ignore_self"])
+            q, kk, v, lengths, seeds, float(scale), aperture,
+            bool(hp["ignore_self"]), drate,
         )
     else:
         logits = jnp.einsum("bqd,bkd->bqk", q, kk) * scale

@@ -13,10 +13,14 @@ from HBM nor computed: banded attention costs O(T * w) time AND bandwidth
 instead of O(T^2).  Running max/sum streaming means logits never hit HBM.
 Backward is the standard flash recomputation (saved logsumexp + delta).
 
-No attention-dropout support in-kernel: callers fall back to the dense path
-when training with dropout (VASNet's default), and use this for eval /
-inference and dropout-free training.  Interpret mode keeps it testable on
-CPU.
+In-kernel attention dropout (VASNet trains with dropout 0.5 on the attention
+matrix by default, vasnet.py:129-135): the keep mask is a *stateless hash* of
+(global row, global col, per-video seed) — a murmur3 finalizer evaluated on
+the VPU inside every kernel — so forward and both backward kernels reproduce
+the identical mask with no PRNG state, no mask materialization in HBM, and no
+dependence on grid iteration order.  Torch semantics: softmax first, then
+dropout with 1/(1-rate) scaling — the softmax denominator is built from
+UNdropped probabilities.  Interpret mode keeps all of it testable on CPU.
 """
 
 from __future__ import annotations
@@ -67,10 +71,34 @@ def _mask_for(rows, cols, length, aperture, ignore_self):
     return mask
 
 
+def dropout_keep(rows, cols, seed, rate: float):
+    """Deterministic keep mask: murmur3-finalizer hash of (row, col, seed).
+
+    Stateless, so the forward and both backward kernels regenerate the exact
+    same mask from their own (rows, cols) tiles regardless of grid order;
+    also used by tests to build the dense oracle.  Top 24 bits -> U[0, 1).
+    """
+    import numpy as _np
+
+    h = rows.astype(jnp.uint32) * _np.uint32(0x9E3779B1) + cols.astype(
+        jnp.uint32
+    ) * _np.uint32(0x85EBCA77)
+    h = h ^ (jnp.uint32(seed) * _np.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 16)
+    h = h * _np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * _np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    # Compare in the integer domain (Mosaic has no uint32->f32 cast): keep
+    # iff the top 24 bits land at/above rate * 2^24.
+    bits = jax.lax.bitcast_convert_type((h >> 8), jnp.int32)  # < 2^24, sign-safe
+    return bits >= _np.int32(int(rate * (1 << 24)))
+
+
 # ------------------------------------------------------------------- forward
 def _fwd_kernel(
-    len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, block_q, block_k, aperture, ignore_self, nk_total,
+    len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_q, block_k, aperture, ignore_self, nk_total, dropout_rate,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -104,9 +132,16 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         corr = jnp.exp(m_prev - m_new)
+        # softmax-then-dropout: the normalizer l uses UNdropped p (torch
+        # semantics); only the value accumulation sees the keep mask.
+        if dropout_rate > 0.0:
+            keep = dropout_keep(rows, cols, seed_ref[0, 0, 0], dropout_rate)
+            pv = p * keep.astype(jnp.float32)
+        else:
+            pv = p
         l_scr[:] = corr * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot(
-            p, v_ref[0], preferred_element_type=jnp.float32
+            pv, v_ref[0], preferred_element_type=jnp.float32
         )
         m_scr[:] = m_new
 
@@ -114,15 +149,16 @@ def _fwd_kernel(
     def _finalize():
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = jnp.where(l > 0, acc_scr[:] / safe, 0.0)
+        inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+        o_ref[0] = jnp.where(l > 0, acc_scr[:] / safe * inv_keep, 0.0)
         lse_ref[0] = jnp.where(l > 0, m_scr[:] + jnp.log(safe), NEG_INF)
 
 
 # ------------------------------------------------------------------ backward
 def _bwd_kv_kernel(
-    len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale, block_q, block_k, aperture, ignore_self, nq_total,
+    *, scale, block_q, block_k, aperture, ignore_self, nq_total, dropout_rate,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -151,11 +187,19 @@ def _bwd_kv_kernel(
         mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         do = do_ref[0]
-        dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
         dp = jax.lax.dot_general(
             do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            ks = dropout_keep(rows, cols, seed_ref[0, 0, 0], dropout_rate).astype(
+                jnp.float32
+            ) * (1.0 / (1.0 - dropout_rate))
+            pv = p * ks
+            dp = dp * ks
+        else:
+            pv = p
+        dv_scr[:] += jax.lax.dot_general(
+            pv, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta_ref[0]) * scale
         dk_scr[:] += jax.lax.dot_general(
@@ -169,8 +213,8 @@ def _bwd_kv_kernel(
 
 
 def _bwd_q_kernel(
-    len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-    *, scale, block_q, block_k, aperture, ignore_self, nk_total,
+    len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale, block_q, block_k, aperture, ignore_self, nk_total, dropout_rate,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -201,6 +245,11 @@ def _bwd_q_kernel(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            ks = dropout_keep(rows, cols, seed_ref[0, 0, 0], dropout_rate).astype(
+                jnp.float32
+            ) * (1.0 / (1.0 - dropout_rate))
+            dp = dp * ks
         ds = p * (dp - delta_ref[0]) * scale
         dq_scr[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
 
@@ -250,27 +299,40 @@ def _q_index_map(block_q, block_k, aperture, nq_total):
     return imap3, imap2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def flash_attention(
     q,
     k,
     v,
     lengths,
+    dropout_seed=None,
     scale: float | None = None,
     aperture: int | None = None,
     ignore_self: bool = False,
+    dropout_rate: float = 0.0,
     block_q: int = 128,
     block_k: int = 128,
 ):
-    """softmax(mask(q @ k^T * scale)) @ v, blockwise.  (B, T, D) x (B,) -> (B, T, D)."""
-    out, _ = _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k)
+    """softmax(mask(q @ k^T * scale)) [-> dropout] @ v, blockwise.
+
+    (B, T, D) x (B,) -> (B, T, D).  ``dropout_rate`` > 0 applies attention
+    dropout with torch semantics inside the kernel; ``dropout_seed`` is a
+    (B,) int32 per-video seed (required when dropout_rate > 0).
+    """
+    out, _ = _fwd(
+        q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
+        dropout_rate, block_q, block_k,
+    )
     return out
 
 
-def _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
+def _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
+         dropout_rate, block_q, block_k):
     b, t, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((b,), jnp.int32)
     blk = max(block_q, block_k)
     t_pad = ((t + blk - 1) // blk) * blk
     qp, kp, vp = (_pad_to(x, t_pad, 1) for x in (q, k, v))
@@ -285,15 +347,18 @@ def _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
         aperture=aperture,
         ignore_self=ignore_self,
         nk_total=nk,
+        dropout_rate=float(dropout_rate),
     )
     kmap = _k_index_map(block_q, block_k, aperture, nk)
+    scalar_spec = pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0))
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, nq, nk_grid),
         in_specs=[
-            # per-video true length, shaped (B, 1, 1) so its (1, 1, 1) block
-            # satisfies TPU tiling (trailing dims equal the array dims).
-            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
+            # per-video true length / dropout seed, shaped (B, 1, 1) so the
+            # (1, 1, 1) block satisfies TPU tiling.
+            scalar_spec,
+            scalar_spec,
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, block_k, d), kmap),
             pl.BlockSpec((1, block_k, d), kmap),
@@ -315,16 +380,22 @@ def _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lengths.astype(jnp.int32).reshape(-1, 1, 1), qp, kp, vp)
-    return out[:, :t], (q, k, v, lengths, out[:, :t], lse[:, :t, 0])
+    )(
+        lengths.astype(jnp.int32).reshape(-1, 1, 1),
+        dropout_seed.astype(jnp.int32).reshape(-1, 1, 1),
+        qp, kp, vp,
+    )
+    return out[:, :t], (q, k, v, lengths, dropout_seed, out[:, :t], lse[:, :t, 0])
 
 
-def _fwd_rule(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k):
-    return _fwd(q, k, v, lengths, scale, aperture, ignore_self, block_q, block_k)
+def _fwd_rule(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
+              dropout_rate, block_q, block_k):
+    return _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
+                dropout_rate, block_q, block_k)
 
 
-def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
-    q, k, v, lengths, out, lse = res
+def _bwd_rule(scale, aperture, ignore_self, dropout_rate, block_q, block_k, res, g):
+    q, k, v, lengths, dropout_seed, out, lse = res
     b, t, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -336,6 +407,7 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
     deltap = _pad_to(delta, t_pad, 1)[..., None]
     nq, nk = t_pad // block_q, t_pad // block_k
     lens = lengths.astype(jnp.int32).reshape(-1, 1, 1)
+    seeds = dropout_seed.astype(jnp.int32).reshape(-1, 1, 1)
 
     nq_grid = nq if aperture is None else min(nq, _n_band_blocks(block_k, block_q, aperture))
     qmap3, qmap2 = _q_index_map(block_q, block_k, aperture, nq)
@@ -344,9 +416,11 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
             _bwd_kv_kernel,
             scale=float(scale), block_q=block_q, block_k=block_k,
             aperture=aperture, ignore_self=ignore_self, nq_total=nq,
+            dropout_rate=float(dropout_rate),
         ),
         grid=(b, nk, nq_grid),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), qmap3),
             pl.BlockSpec((1, block_k, d), lambda bi, ki, qi: (bi, ki, 0)),
@@ -371,7 +445,7 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lens, qp, kp, vp, gp, lsep, deltap)
+    )(lens, seeds, qp, kp, vp, gp, lsep, deltap)
 
     nk_grid = nk if aperture is None else min(nk, _n_band_blocks(block_q, block_k, aperture))
     kmap = _k_index_map(block_q, block_k, aperture, nk)
@@ -380,9 +454,11 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
             _bwd_q_kernel,
             scale=float(scale), block_q=block_q, block_k=block_k,
             aperture=aperture, ignore_self=ignore_self, nk_total=nk,
+            dropout_rate=float(dropout_rate),
         ),
         grid=(b, nq, nk_grid),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, block_k, d), kmap),
@@ -398,9 +474,9 @@ def _bwd_rule(scale, aperture, ignore_self, block_q, block_k, res, g):
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lens, qp, kp, vp, gp, lsep, deltap)
+    )(lens, seeds, qp, kp, vp, gp, lsep, deltap)
 
-    return dq[:, :t], dk[:, :t], dv[:, :t], None
+    return dq[:, :t], dk[:, :t], dv[:, :t], None, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
