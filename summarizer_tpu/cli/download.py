@@ -22,19 +22,23 @@ def main(argv=None):
 
         from summarizer_tpu.data.synthetic import write_synthetic_dataset
 
+        import zlib
+
         # (name, videos, users, min/max feature steps). LOL mimics the real
-        # dataset's shape: a single annotator and much longer videos
-        # (Twitch-LOL, datasets/README.md; Summarizer.pdf §2.2).
+        # dataset's shape: 318 videos, a single annotator, much longer videos
+        # (Twitch-LOL, datasets/README.md:50-74; Summarizer.pdf §2.2).
         configs = (
             ("summe", 25, 15, 100, 650),
             ("tvsum", args.videos, 20, 100, 650),
-            ("LOL", 60, 1, 800, 3200),
+            ("LOL", 318, 1, 800, 3200),
         )
         for name, n, users, lo, hi in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
             write_synthetic_dataset(
-                path, n_videos=n, seed=hash(name) % 2**31, n_users=users,
-                min_steps=lo, max_steps=hi, name=name,
+                # crc32, not hash(): the latter is salted per interpreter run
+                # and would make "identical" datasets differ between calls.
+                path, n_videos=n, seed=zlib.crc32(name.encode()) % 2**31,
+                n_users=users, min_steps=lo, max_steps=hi, name=name,
             )
             print(f"synthetic -> {path}")
         return

@@ -172,3 +172,40 @@ def load_torch_state_dict(state_dict: dict):
         else:
             params[ours] = conv_entry(theirs)
     return params
+
+
+def load_npz(path: str):
+    """Load weights exported by scripts/export_googlenet_weights.py (a
+    torchvision state_dict saved as npz, BN unfused) into the param pytree."""
+    with np.load(path) as z:
+        return load_torch_state_dict(dict(z.items()))
+
+
+def fabricate_state_dict(seed: int = 1) -> dict:
+    """A torchvision-googlenet-shaped state_dict with random values, in the
+    exact key layout the export script writes.  Used by the export selftest
+    and tests to validate the full export -> load -> apply chain offline
+    (real ImageNet values require one torchvision download; see
+    scripts/export_googlenet_weights.py)."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def conv(prefix, cin, cout, k):
+        sd[f"{prefix}.conv.weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        sd[f"{prefix}.bn.weight"] = rng.rand(cout).astype(np.float32) + 0.5
+        sd[f"{prefix}.bn.bias"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[f"{prefix}.bn.running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[f"{prefix}.bn.running_var"] = rng.rand(cout).astype(np.float32) + 0.5
+
+    conv("conv1", 3, 64, 7)
+    conv("conv2", 64, 64, 1)
+    conv("conv3", 64, 192, 3)
+    for name, (cin, b1, b2r, b2, b3r, b3, b4) in _INCEPTION.items():
+        p = f"inception{name}"
+        conv(f"{p}.branch1", cin, b1, 1)
+        conv(f"{p}.branch2.0", cin, b2r, 1)
+        conv(f"{p}.branch2.1", b2r, b2, 3)
+        conv(f"{p}.branch3.0", cin, b3r, 1)
+        conv(f"{p}.branch3.1", b3r, b3, 3)
+        conv(f"{p}.branch4.1", cin, b4, 1)
+    return sd

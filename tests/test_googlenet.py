@@ -36,29 +36,11 @@ def test_fold_bn_math():
 
 
 def _fake_tv_state_dict():
-    """A torchvision-googlenet-shaped state dict with random values."""
-    rng = np.random.RandomState(1)
-    sd = {}
+    """Torchvision-googlenet-shaped state dict (module-provided fabricator —
+    the same one the export selftest uses)."""
+    from summarizer_tpu.features.googlenet import fabricate_state_dict
 
-    def conv(prefix, cin, cout, k):
-        sd[f"{prefix}.conv.weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * 0.05
-        sd[f"{prefix}.bn.weight"] = rng.rand(cout).astype(np.float32) + 0.5
-        sd[f"{prefix}.bn.bias"] = rng.randn(cout).astype(np.float32) * 0.1
-        sd[f"{prefix}.bn.running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
-        sd[f"{prefix}.bn.running_var"] = rng.rand(cout).astype(np.float32) + 0.5
-
-    conv("conv1", 3, 64, 7)
-    conv("conv2", 64, 64, 1)
-    conv("conv3", 64, 192, 3)
-    for name, (cin, b1, b2r, b2, b3r, b3, b4) in _INCEPTION.items():
-        p = f"inception{name}"
-        conv(f"{p}.branch1", cin, b1, 1)
-        conv(f"{p}.branch2.0", cin, b2r, 1)
-        conv(f"{p}.branch2.1", b2r, b2, 3)
-        conv(f"{p}.branch3.0", cin, b3r, 1)
-        conv(f"{p}.branch3.1", b3r, b3, 3)
-        conv(f"{p}.branch4.1", cin, b4, 1)
-    return sd
+    return fabricate_state_dict(seed=1)
 
 
 def test_torchvision_conversion_roundtrip():
@@ -72,3 +54,21 @@ def test_torchvision_conversion_roundtrip():
     y = googlenet_apply(params, x)
     assert y.shape == (1, 1024)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_npz_export_load_roundtrip(tmp_path):
+    """scripts/export_googlenet_weights.py format -> load_npz -> apply."""
+    from summarizer_tpu.features.googlenet import fabricate_state_dict, load_npz
+
+    sd = fabricate_state_dict(seed=2)
+    path = str(tmp_path / "googlenet.npz")
+    np.savez_compressed(path, **sd)
+    params = load_npz(path)
+    direct = load_torch_state_dict(sd)
+    for block in ("conv1", "inception5b"):
+        a, b = params[block], direct[block]
+        la, lb = jnp.asarray(jax.tree.leaves(a)[0]), jnp.asarray(jax.tree.leaves(b)[0])
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+    x = jnp.ones((1, 224, 224, 3)) * 0.1
+    y = googlenet_apply(params, x)
+    assert y.shape == (1, 1024) and np.all(np.isfinite(np.asarray(y)))
