@@ -33,7 +33,8 @@ def main(argv):
         ("datasets", os.path.join(REPO, "datasets")),
         ("splits", os.path.join(REPO, "splits")),
     ):
-        if not os.path.exists(link):
+        # lexists: a dangling symlink (target regenerated later) still counts.
+        if not os.path.lexists(link):
             os.symlink(target, link)
     os.makedirs("logs", exist_ok=True)
 

@@ -98,6 +98,15 @@ def render():
                 ] = r["wall_s"]
                 rows[key]["meta"]["epochs"] = r["epochs"]
 
+    # The lockstep run (scripts/parity_lockstep.py) replays the reference's
+    # exact RNG stream, so its reference side IS the seed-12345 logistic-cv row.
+    for (name, split) in list(rows):
+        if name == "logistic-lockstep" and "ref" not in rows[(name, split)]:
+            src = rows.get(("logistic-cv", split), {})
+            if "ref" in src:
+                rows[(name, split)]["ref"] = src["ref"]
+                rows[(name, split)]["meta"]["ref_wall"] = src["meta"].get("ref_wall")
+
     lines = [
         "# PARITY — summarizer_tpu vs reference torch stack, identical data\n",
         "Both stacks trained on the SAME synthetic h5 datasets (`datasets/`),",

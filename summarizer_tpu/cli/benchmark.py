@@ -13,6 +13,7 @@ import argparse
 import datetime
 import logging
 import os
+import time
 
 import pandas as pd
 from tabulate import tabulate
@@ -27,13 +28,20 @@ MODEL_CONFIGS = [
     ("Random", {"model": "random", "epochs": 1, "extra_params": {}}),
     ("Logistic Regression", {"model": "logistic", "epochs": 30, "extra_params": {}}),
     ("VASNet", {"model": "vasnet", "epochs": 30, "extra_params": {}}),
+    # 30 s aperture at 2 feature-fps (the paper's best long-video config,
+    # Summarizer.pdf §4.2) == 60 steps.
+    ("VASNet_loc", {"model": "vasnet", "epochs": 30, "extra_params": {"local": 60}}),
     ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
+    ("DSN_sup", {"model": "dsn", "epochs": 20, "extra_params": {"sup": 1}}),
     ("SumGAN", {"model": "sumgan", "epochs": 20,
-                "extra_params": {"batch_size": 8, "pretrain_vae": 5, "bf16": 1}}),
+                "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1}}),
+    ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
+                    "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
+                                     "sup": 1}}),
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
-                    "extra_params": {"batch_size": 8, "pretrain_ae": 5, "bf16": 1}}),
+                    "extra_params": {"batch_size": 20, "pretrain_ae": 20, "bf16": 1}}),
 ]
 
 
@@ -43,19 +51,50 @@ def benchmark_model(name: str, args: dict):
     hps.load_from_args(args)
     from summarizer_tpu.train.loop import train
 
+    t0 = time.time()
+    results = train(hps)
+    wall = time.time() - t0
     rows = []
-    for splits_file, corr, avg_f, max_f in train(hps):
-        rows.append([name, splits_file, corr, avg_f, max_f, hps.log_path])
+    for splits_file, corr, avg_f, max_f in results:
+        rows.append([name, splits_file, corr, avg_f, max_f,
+                     round(wall / max(len(results), 1), 1), hps.log_path])
         logging.info(
             f"File: {splits_file}  Corr: {corr: 0.5f}  "
-            f"Avg F-score: {avg_f:0.5f}  Max F-score: {max_f:0.5f}"
+            f"Avg F-score: {avg_f:0.5f}  Max F-score: {max_f:0.5f}  "
+            f"({wall:.0f}s total)"
         )
     hps.writer.close()
     return rows
 
 
-def show_save_results(table: pd.DataFrame, log_path: str):
+def _provenance(splits_files: str) -> str:
+    """One-line data-provenance label so quality columns can't be mistaken
+    for real-dataset (Table 1) numbers when the h5s are synthetic fixtures."""
+    import h5py
+
+    names = []
+    for sf in splits_files.split(","):
+        from summarizer_tpu.data.splits import parse_splits_filename
+
+        ds_name, _ = parse_splits_filename(sf)
+        path = os.path.join("datasets", f"summarizer_dataset_{ds_name}_google_pool5.h5")
+        tag = ds_name
+        try:
+            with h5py.File(path, "r") as f:
+                if bool(f.attrs.get("synthetic", False)):
+                    tag += " (SYNTHETIC fixture)"
+                else:
+                    tag += " (real)"
+        except OSError:
+            tag += " (missing h5)"
+        names.append(tag)
+    return "Data: " + ", ".join(names)
+
+
+def show_save_results(table: pd.DataFrame, log_path: str, header: str = ""):
     table_str = tabulate(table, headers="keys", tablefmt="psql", showindex=False)
+    if header:
+        table_str = header + "\n" + table_str
     print(table_str)
     os.makedirs(log_path, exist_ok=True)
     with open(os.path.join(log_path, "table.txt"), "w") as f:
@@ -96,9 +135,11 @@ def main(argv=None):
         rows += benchmark_model(name, run_args)
 
     table = pd.DataFrame(
-        rows, columns=["Model", "File", "Correlation", "Avg F-score", "Max F-score", "Logs"]
+        rows,
+        columns=["Model", "File", "Correlation", "Avg F-score", "Max F-score",
+                 "Wall (s/file)", "Logs"],
     )
-    show_save_results(table, log_path)
+    show_save_results(table, log_path, header=_provenance(args.splits_files))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,7 @@ def write_synthetic_dataset(
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
+        f.attrs["synthetic"] = True  # provenance flag read by cli/benchmark.py
         for i in range(n_videos):
             n_steps = int(rng.randint(min_steps, max_steps + 1))
             v = synth_video(rng, n_steps, feature_dim, n_users)
