@@ -27,7 +27,7 @@ from summarizer_tpu.train.loop import make_engine
 from summarizer_tpu.utils.config import HParameters
 
 
-def bench_group(bs: int):
+def bench_group(bs: int, int8: bool = False):
     hps = HParameters().load_from_args(
         {
             "model": "sumgan",
@@ -36,7 +36,7 @@ def bench_group(bs: int):
             "log_level": "error",
             "tensorboard": False,
             "extra_params": {"pretrain_vae": 0, "batch_size": bs, "bf16": 1,
-                             "scan_chunk": 1},
+                             "scan_chunk": 1, "int8": int(int8)},
         }
     )
     sf = hps.splits_files[0]
@@ -67,7 +67,8 @@ def bench_group(bs: int):
             _ = [float(v) for v in st]
         dt = (time.perf_counter() - t0) / reps
     print(
-        f"group={bs:3d}: {dt:6.2f}s per 3-phase step -> {bs / dt:7.2f} videos/s "
+        f"group={bs:3d}{' int8' if int8 else ''}: {dt:6.2f}s per 3-phase step "
+        f"-> {bs / dt:7.2f} videos/s "
         f"(T={feats.shape[1]}, split_phases={bs >= 24})",
         flush=True,
     )
@@ -75,10 +76,11 @@ def bench_group(bs: int):
 
 
 def main(argv):
-    groups = [int(a) for a in argv[1:]] or [8, 16, 32]
+    int8 = "--int8" in argv
+    groups = [int(a) for a in argv[1:] if a != "--int8"] or [8, 16, 32]
     for bs in groups:
         try:
-            bench_group(bs)
+            bench_group(bs, int8=int8)
         except Exception as e:
             print(f"group={bs:3d}: FAILED {type(e).__name__}: {str(e)[:200]}")
 

@@ -38,6 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.nn.policy import cast_rnn_operands
+from summarizer_tpu.nn.quant import (
+    int8_enabled,
+    qdot,
+    quant_weight_bwd,
+    quant_weight_fwd,
+)
 
 F32 = jnp.float32
 
@@ -86,12 +92,19 @@ def _layer_fwd_impl(w_ih, w_hh, b, x):
         + b[:, None, None, :]
     ).astype(cd)
     w_hh_c = w_hh.astype(cd)
+    # int8 streaming: quantize ONCE out here; the scan body only touches the
+    # int8 copy, so each step reads half the bytes of the bf16 path.
+    wq = quant_weight_fwd(w_hh) if int8_enabled() else None
 
     def step(carry, xg_t):  # xg_t: (S, B, 4H)
         h, c = carry
-        z = xg_t.astype(F32) + jnp.einsum(
-            "sbh,sho->sbo", h.astype(cd), w_hh_c, preferred_element_type=F32
-        )
+        if wq is not None:
+            rec = qdot(h, wq[0], wq[1], "sbh,sho->sbo")
+        else:
+            rec = jnp.einsum(
+                "sbh,sho->sbo", h.astype(cd), w_hh_c, preferred_element_type=F32
+            )
+        z = xg_t.astype(F32) + rec
         i, f, g, o = _gates(z)
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
@@ -139,13 +152,18 @@ def _lstm_layer_core_bwd(res, g):
     )
     dhs_t, dcs_t = tm(dhs), tm(dcs)
 
+    wq_b = quant_weight_bwd(w_hh) if int8_enabled() else None
+
     def bstep(carry, inp):
         dh_c, dc_c = carry
         z_t, c_prev, c_t, dh_out, dc_out = inp
         dz, dc_prev = _cell_bwd(z_t, c_prev, c_t, dh_out + dh_c, dc_c + dc_out)
-        dh_prev = jnp.einsum(
-            "sbo,sho->sbh", dz.astype(cd), w_hh_c, preferred_element_type=F32
-        )
+        if wq_b is not None:
+            dh_prev = qdot(dz, wq_b[0], wq_b[1], "sbo,sho->sbh")
+        else:
+            dh_prev = jnp.einsum(
+                "sbo,sho->sbh", dz.astype(cd), w_hh_c, preferred_element_type=F32
+            )
         return (dh_prev, dc_prev), dz.astype(cd)
 
     zeros = jnp.zeros((s, bsz, hidden), F32)
@@ -212,17 +230,31 @@ def _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max):
     cd = _compute_dtype(w_hh)
     layers, bsz, hidden = h0.shape
     w_ih_c, w_hh_c = w_ih.astype(cd), w_hh.astype(cd)
+    # int8 streaming: the dLSTM's w_ih is ALSO streamed per step (self-feeding
+    # input), so both matrices get quantized copies here (half the 134 MB/step
+    # bf16 decode read).
+    q = None
+    if int8_enabled():
+        q = (quant_weight_fwd(w_ih), quant_weight_fwd(w_hh))
 
     def step(carry, _):
         top, h, c = carry
         hs_l, cs_l, zs_l = [], [], []
         x_in = top
         for li in range(layers):
-            z = (
-                jnp.dot(x_in.astype(cd), w_ih_c[li], preferred_element_type=F32)
-                + jnp.dot(h[li].astype(cd), w_hh_c[li], preferred_element_type=F32)
-                + b[li]
-            )
+            if q is not None:
+                (iq, is_), (hq, hs_) = q
+                z = (
+                    qdot(x_in, iq[li], is_[li], "bh,ho->bo")
+                    + qdot(h[li], hq[li], hs_[li], "bh,ho->bo")
+                    + b[li]
+                )
+            else:
+                z = (
+                    jnp.dot(x_in.astype(cd), w_ih_c[li], preferred_element_type=F32)
+                    + jnp.dot(h[li].astype(cd), w_hh_c[li], preferred_element_type=F32)
+                    + b[li]
+                )
             i, f, g, o = _gates(z)
             c2 = f * c[li] + i * g
             h2 = o * jnp.tanh(c2)
@@ -272,6 +304,10 @@ def _dlstm_core_bwd(t_max, res, dtops):
     )  # (T, B, H)
     dtops_t = jnp.swapaxes(dtops, 0, 1)  # (T, B, H)
 
+    qb = None
+    if int8_enabled():
+        qb = (quant_weight_bwd(w_ih), quant_weight_bwd(w_hh))
+
     def bstep(carry, inp):
         dh_c, dc_c, dtop_c = carry  # (L,B,H), (L,B,H), (B,H)
         z_t, c_prev_t, c_t, dtop_out = inp
@@ -284,15 +320,26 @@ def _dlstm_core_bwd(t_max, res, dtops):
             dz, dc_prev = _cell_bwd(z_t[li], c_prev_t[li], c_t[li], dh, dc_c[li])
             dcs_new[li] = dc_prev
             dzs[li] = dz
-            dx_in = jnp.dot(
-                dz.astype(cd), w_ih_c[li].T, preferred_element_type=F32
+            if qb is not None:
+                dx_in = qdot(dz, qb[0][0][li], qb[0][1][li], "bo,ho->bh")
+            else:
+                dx_in = jnp.dot(
+                    dz.astype(cd), w_ih_c[li].T, preferred_element_type=F32
+                )
+        if qb is not None:
+            dh_prev = jnp.stack(
+                [
+                    qdot(dzs[li], qb[1][0][li], qb[1][1][li], "bo,ho->bh")
+                    for li in range(layers)
+                ]
             )
-        dh_prev = jnp.stack(
-            [
-                jnp.dot(dzs[li].astype(cd), w_hh_c[li].T, preferred_element_type=F32)
-                for li in range(layers)
-            ]
-        )
+        else:
+            dh_prev = jnp.stack(
+                [
+                    jnp.dot(dzs[li].astype(cd), w_hh_c[li].T, preferred_element_type=F32)
+                    for li in range(layers)
+                ]
+            )
         # dx_in now holds the grad w.r.t. layer-0's input = top_{t-1}
         return (dh_prev, jnp.stack(dcs_new), dx_in), jnp.stack(dzs).astype(cd)
 

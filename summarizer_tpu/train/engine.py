@@ -121,13 +121,26 @@ class Engine:
 
     # ----------------------------------------------------------------- hooks
     def compute_policy(self):
-        """bf16 recurrent-matmul policy context (``--bf16 1``); halves the
-        HBM weight streaming that bounds batch-1 RNN steps (BENCH_NOTES.md)."""
-        if int(self.hp.get("bf16", 0)):
+        """Recurrent-matmul streaming policy context.
+
+        ``--bf16 1`` halves the HBM weight streaming that bounds batch-1 RNN
+        steps (BENCH_NOTES.md); ``--int8 1`` additionally streams the lean-
+        LSTM recurrent weights as per-channel int8 (half again, straight-
+        through grads — an opt-in perf mode, see nn/quant.py) and implies
+        bf16 for the rest of the recurrent math."""
+        import contextlib
+
+        use_int8 = int(self.hp.get("int8", 0))
+        if use_int8 or int(self.hp.get("bf16", 0)):
             from summarizer_tpu.nn.policy import rnn_compute
 
-            return rnn_compute(jnp.bfloat16)
-        import contextlib
+            ctx = contextlib.ExitStack()
+            ctx.enter_context(rnn_compute(jnp.bfloat16))
+            if use_int8:
+                from summarizer_tpu.nn.quant import rnn_int8_streaming
+
+                ctx.enter_context(rnn_int8_streaming())
+            return ctx
 
         return contextlib.nullcontext()
 
