@@ -45,7 +45,9 @@ def main(argv=None):
 
     from summarizer_tpu.data.download import download_datasets
 
-    download_datasets(args.dest)
+    status = download_datasets(args.dest)
+    if not any(v in ("ok", "exists") for v in status.values()):
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

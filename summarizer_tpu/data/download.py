@@ -46,9 +46,48 @@ def download_file_from_google_drive(file_id: str, destination: str):
                 f.write(chunk)
 
 
-def download_datasets(dest_dir: str = "datasets"):
+def _valid_h5(path: str) -> bool:
+    """True if ``path`` opens as an HDF5 file with at least one video group
+    (Drive quota/intercept pages arrive as HTML with a 200 status)."""
+    try:
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return len(f.keys()) > 0
+    except OSError:
+        return False
+
+
+def download_datasets(dest_dir: str = "datasets") -> dict:
+    """Fetch the three real datasets; degrades gracefully without egress.
+
+    Returns {name: "ok" | "exists" | "failed: <reason>"}.  Existing valid
+    files are kept; failed/partial downloads are removed so a later retry
+    (or the synthetic generator) starts clean.
+    """
+    status = {}
     for file_id, name in GDRIVE_FILES.items():
         dest = os.path.join(dest_dir, name)
+        if os.path.exists(dest) and _valid_h5(dest):
+            print(f"{name}: already present, skipping")
+            status[name] = "exists"
+            continue
         print(f"Downloading {name} ...")
-        download_file_from_google_drive(file_id, dest)
-        print(f"  -> {dest}")
+        try:
+            download_file_from_google_drive(file_id, dest)
+            if not _valid_h5(dest):
+                raise OSError("response was not a valid HDF5 file (quota page?)")
+            print(f"  -> {dest}")
+            status[name] = "ok"
+        except Exception as e:  # noqa: BLE001 — report every failure mode
+            if os.path.exists(dest):
+                os.remove(dest)
+            print(f"  FAILED: {type(e).__name__}: {e}")
+            status[name] = f"failed: {e}"
+    if not any(v in ("ok", "exists") for v in status.values()):
+        print(
+            "\nNo dataset could be downloaded (no network egress?).\n"
+            "Offline alternative (schema-complete fixtures):\n"
+            "  python -m summarizer_tpu.cli.download --synthetic"
+        )
+    return status
