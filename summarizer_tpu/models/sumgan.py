@@ -101,6 +101,16 @@ def clstm_apply(p, x, lengths):
     return probs, h_last
 
 
+def _ck(fn, enabled: bool, static_argnums=()):
+    """Per-stage rematerialization: checkpointing each sub-net caps the live
+    residual set at ONE stage instead of the whole sLSTM->VAE->cLSTM chain —
+    at video group 40 / T=640 the chain's lean residuals alone exceed the
+    16 GB HBM.  The recurrences are weight-streaming-bound, so the recompute
+    adds ~one forward of streaming per stage while unlocking the ~linear
+    videos-per-weight-read scaling with group size."""
+    return jax.checkpoint(fn, static_argnums=static_argnums) if enabled else fn
+
+
 # -------------------------------------------------------------------- SumGAN
 def init(rng, hp: dict):
     hp = {**DEFAULTS, **hp}
@@ -118,15 +128,18 @@ def reparameterize(rng, mu, logvar):
     return mu + jax.random.normal(rng, mu.shape) * jnp.exp(0.5 * logvar)
 
 
-def vae_forward(params, x, lengths, rng):
+def vae_forward(params, x, lengths, rng, remat: bool = False):
     """x -> (x_hat, (mu, logvar)) (ref: sumgan.py:117-148)."""
-    (mu, logvar), c = elstm_apply(params["e_lstm"], x, lengths)
+    (mu, logvar), c = _ck(elstm_apply, remat)(params["e_lstm"], x, lengths)
     h = reparameterize(rng, mu, logvar)
-    x_hat = dlstm_apply(params["d_lstm"], x.shape[1], h, c, lengths)
+    x_hat = _ck(dlstm_apply, remat, static_argnums=(1,))(
+        params["d_lstm"], x.shape[1], h, c, lengths
+    )
     return x_hat, (mu, logvar)
 
 
-def summarizer_forward(params, x, mask, rng, uniform: bool = False):
+def summarizer_forward(params, x, mask, rng, uniform: bool = False,
+                       remat: bool = False):
     """x -> (x_hat, (mu, logvar), scores); ``uniform`` swaps the selector for
     U(0,1) scores, the paper's s_p branch (sumgan.py:150-183)."""
     lengths = mask.sum(-1).astype(jnp.int32)
@@ -134,26 +147,26 @@ def summarizer_forward(params, x, mask, rng, uniform: bool = False):
     if uniform:
         scores = jax.random.uniform(k1, x.shape[:2])
     else:
-        scores = slstm_apply(params["s_lstm"], x, lengths)
+        scores = _ck(slstm_apply, remat)(params["s_lstm"], x, lengths)
     x_weighted = x * (scores * mask)[..., None]
-    x_hat, dist = vae_forward(params, x_weighted, lengths, k2)
+    x_hat, dist = vae_forward(params, x_weighted, lengths, k2, remat=remat)
     return x_hat, dist, scores
 
 
-def summarizer_forward_pair(params, x, mask, rng):
+def summarizer_forward_pair(params, x, mask, rng, remat: bool = False):
     """Selector-scored AND uniform-scored reconstructions in ONE batched VAE
     pass (the paper's x_hat and x_hat_p, sumgan.py:435-441).  Batching the
     two independent recurrences halves the sequential scan count — the
     latency bottleneck of small-batch RNNs on TPU."""
     lengths = mask.sum(-1).astype(jnp.int32)
     k1, k2 = jax.random.split(rng)
-    scores = slstm_apply(params["s_lstm"], x, lengths)
+    scores = _ck(slstm_apply, remat)(params["s_lstm"], x, lengths)
     uniform = jax.random.uniform(k1, x.shape[:2])
     xw = jnp.concatenate(
         [x * (scores * mask)[..., None], x * (uniform * mask)[..., None]], axis=0
     )
     x_hats, _ = vae_forward(
-        params, xw, jnp.concatenate([lengths, lengths]), k2
+        params, xw, jnp.concatenate([lengths, lengths]), k2, remat=remat
     )
     b = x.shape[0]
     return x_hats[:b], x_hats[b:], scores
@@ -164,14 +177,14 @@ def discriminate(params, x, mask):
     return clstm_apply(params["c_lstm"], x, lengths)
 
 
-def discriminate_many(params, xs, mask):
+def discriminate_many(params, xs, mask, remat: bool = False):
     """One batched cLSTM pass over k independent sequences sharing the mask:
     returns k (probs, h_last) pairs.  Replaces k sequential discriminator
     scans (sumgan.py:437-441) with one."""
     k = len(xs)
     b = xs[0].shape[0]
     lengths = mask.sum(-1).astype(jnp.int32)
-    probs, h = clstm_apply(
+    probs, h = _ck(clstm_apply, remat)(
         params["c_lstm"], jnp.concatenate(xs, axis=0), jnp.tile(lengths, k)
     )
     return [(probs[i * b : (i + 1) * b], h[i * b : (i + 1) * b]) for i in range(k)]

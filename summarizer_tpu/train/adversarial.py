@@ -424,9 +424,12 @@ class SumGANEngine(_AdversarialBase):
         m_vae = path_mask(params, [("e_lstm",), ("d_lstm",)])
         opt = masked_adam(lr, wd, m_vae)
 
+        bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
+        rm = bool(int(self.hp.get("remat", bs >= 24)))
+
         def loss_fn(p, x, m, key):
             lengths = m.sum(-1).astype(jnp.int32)
-            x_hat, (mu, logvar) = sg.vae_forward(p, x, lengths, key)
+            x_hat, (mu, logvar) = sg.vae_forward(p, x, lengths, key, remat=rm)
             return l2_norm_rows(x, x_hat, m) + kl_prior(mu, logvar)
 
         return self._run_pretrain(
@@ -435,10 +438,16 @@ class SumGANEngine(_AdversarialBase):
 
     def make_epoch_fn(self, opts, cfg):
         sigma, sup = cfg["sigma"], cfg["sup"]
+        # Per-stage remat (sg._ck): default on for large video groups, where
+        # the full sLSTM->VAE->cLSTM residual chain no longer fits HBM.
+        bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
+        rm = bool(int(self.hp.get("remat", bs >= 24)))
 
         def loss_se(p, x, y, m, key):
-            x_hat, (mu, logvar), scores = sg.summarizer_forward(p, x, m, key)
-            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m)
+            x_hat, (mu, logvar), scores = sg.summarizer_forward(
+                p, x, m, key, remat=rm
+            )
+            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m, remat=rm)
             recons = l2_norm_rows(h_real, h_fake)
             prior = kl_prior(mu, logvar)
             sparsity = (
@@ -448,9 +457,9 @@ class SumGANEngine(_AdversarialBase):
             return recons + prior + sparsity
 
         def loss_d(p, x, m, key):
-            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, key)
+            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, key, remat=rm)
             (_, h_real), (probs_fake, h_fake), (probs_uniform, _) = (
-                sg.discriminate_many(p, [x, x_hat, x_hat_p], m)
+                sg.discriminate_many(p, [x, x_hat, x_hat_p], m, remat=rm)
             )
             recons = l2_norm_rows(h_real, h_fake)
             ones = jnp.ones_like(probs_fake)
@@ -461,11 +470,13 @@ class SumGANEngine(_AdversarialBase):
 
         def loss_c(p, x, m, key, noise):
             k1, k3, k4, k5 = jax.random.split(key, 4)
-            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, k1)
+            x_hat, x_hat_p, _ = sg.summarizer_forward_pair(p, x, m, k1, remat=rm)
             x_in = _noise_mul(noise, k3, x)
             x_hat = _noise_mul(noise, k4, x_hat)
             x_hat_p = _noise_mul(noise, k5, x_hat_p)
-            (pr, _), (pf, _), (pu, _) = sg.discriminate_many(p, [x_in, x_hat, x_hat_p], m)
+            (pr, _), (pf, _), (pu, _) = sg.discriminate_many(
+                p, [x_in, x_hat, x_hat_p], m, remat=rm
+            )
             ones = jnp.ones_like(pr)
             loss = (
                 bce_masked(pr, 0.9 * ones, ones)
@@ -515,10 +526,12 @@ class SumGANAttEngine(_AdversarialBase):
     def make_epoch_fn(self, opts, cfg):
         sup = cfg["sup"]
         hp = self.hp
+        bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
+        rm = bool(int(self.hp.get("remat", bs >= 24)))
 
         def loss_se(p, x, y, m, key):
             x_hat, scores = sga.summarizer_forward(p, x, m, key, hp)
-            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m)
+            (_, h_real), (_, h_fake) = sg.discriminate_many(p, [x, x_hat], m, remat=rm)
             recons = l2_norm_rows(h_real, h_fake)
             sparsity = bce_masked(scores, y, m) if sup else 0.0
             return recons + sparsity
@@ -528,7 +541,7 @@ class SumGANAttEngine(_AdversarialBase):
             x_hat, _ = sga.summarizer_forward(p, x, m, k1, hp)
             x_hat_p, _ = sga.summarizer_forward(p, x, m, k2, hp, uniform=True)
             (_, h_real), (pf, h_fake), (pu, _) = sg.discriminate_many(
-                p, [x, x_hat, x_hat_p], m
+                p, [x, x_hat, x_hat_p], m, remat=rm
             )
             recons = l2_norm_rows(h_real, h_fake)
             gan = jnp.mean(-0.5 * (pf + pu))  # WGAN generator (sumgan_att.py:187-189)
@@ -542,7 +555,7 @@ class SumGANAttEngine(_AdversarialBase):
             x_hat = _noise_mul(noise, k4, x_hat)
             x_hat_p = _noise_mul(noise, k5, x_hat_p)
             (pr, _), (pf, _), (pu, _) = sg.discriminate_many(
-                p, [x_in, x_hat, x_hat_p], m
+                p, [x_in, x_hat, x_hat_p], m, remat=rm
             )
             # WGAN discriminator (sumgan_att.py:191-193)
             loss = jnp.mean(-pr + 0.5 * (pf + pu))
