@@ -130,6 +130,28 @@ class _AdversarialBase(Engine):
         chunk = max(1, int(self.hp.get("scan_chunk", 4)))
         return bs, chunk
 
+    def _dp_shard(self):
+        """Video-axis sharding constraint for ``--data_parallel N`` (same
+        contract as the supervised engine): the group's videos spread over
+        the ``dp`` mesh axis, params stay replicated, and XLA emits the
+        gradient psum over ICI.  Group-mean losses make the sharded step
+        mathematically identical to the single-device one."""
+        n = int(getattr(self.hps, "data_parallel", 0))
+        if n <= 1:
+            return lambda a: a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from summarizer_tpu.parallel.mesh import make_mesh
+
+        bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
+        assert bs % n == 0, f"batch_size {bs} must divide over data_parallel={n}"
+        sharding = NamedSharding(make_mesh(n, dp=n, tp=1), P("dp"))
+
+        def shard(a):
+            return jax.lax.with_sharding_constraint(a, sharding)
+
+        return shard
+
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
         cfg = self._cfg()
@@ -237,11 +259,12 @@ class _AdversarialBase(Engine):
 
     def _run_pretrain(self, params, feats, mask, cfg, rng, opt, opt_state, loss_fn, tag):
         """Shared chunked pretrain loop over video groups."""
+        dp = self._dp_shard()
 
         def group_step(carry, inp):
             p, s = carry
             sel, key = inp
-            loss, grads = jax.value_and_grad(loss_fn)(p, feats[sel], mask[sel], key)
+            loss, grads = jax.value_and_grad(loss_fn)(p, dp(feats[sel]), dp(mask[sel]), key)
             upd, s = opt.update(grads, s, p)
             return (optax.apply_updates(p, upd), s), loss
 
@@ -301,12 +324,14 @@ class _AdversarialBase(Engine):
             loss_d = jax.checkpoint(loss_d)
             loss_c = jax.checkpoint(loss_c, static_argnums=())
 
+        dp = self._dp_shard()
+
         @jax.jit
         def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
             def group_step(carry, inp):
                 params, (s_se, s_d, s_c) = carry
                 sel, key, nz = inp
-                x, y, m = feats[sel], targets[sel], mask[sel]
+                x, y, m = dp(feats[sel]), dp(targets[sel]), dp(mask[sel])
                 k1, k2, k3 = jax.random.split(key, 3)
 
                 lse, g = jax.value_and_grad(loss_se)(params, x, y, m, k1)
@@ -344,9 +369,13 @@ class _AdversarialBase(Engine):
         opt_se, opt_d, opt_c = opts
         loss_se, loss_d, loss_c = phase_losses
 
+        dp = self._dp_shard()
+
         def phase_step(loss, opt, n_extra, static_argnums=()):
-            def step(params, opt_state, *args):
-                out, grads = jax.value_and_grad(loss, has_aux=n_extra)(params, *args)
+            def step(params, opt_state, x, *args):
+                out, grads = jax.value_and_grad(loss, has_aux=n_extra)(
+                    params, dp(x), *args
+                )
                 loss_val, aux = out if n_extra else (out, None)
                 upd, opt_state = opt.update(grads, opt_state, params)
                 return optax.apply_updates(params, upd), opt_state, loss_val, aux

@@ -78,3 +78,51 @@ def test_sharded_eval_matches_single_device(mesh, synth_records):
     np.testing.assert_allclose(corr_p, corr_s, atol=1e-5)
     np.testing.assert_allclose(af1_p, af1_s, atol=1e-5)
     np.testing.assert_allclose(mf1_p, mf1_s, atol=1e-5)
+
+
+def test_sumgan_dp_matches_single_device(tmp_path, synth_h5):
+    """GAN 3-phase training sharded over dp == single-device numbers: the
+    group-mean losses turn the video-axis sharding into a pure grad psum."""
+    import h5py
+
+    from summarizer_tpu.data.hdf5 import SummarizerDataset
+    from summarizer_tpu.data.splits import write_splits
+    from summarizer_tpu.train.loop import make_engine
+    from summarizer_tpu.utils.config import HParameters
+
+    with h5py.File(synth_h5) as f:
+        keys = list(f.keys())
+    sp = str(tmp_path / "synthetic_splits_overfit.json")
+    write_splits([{"train_keys": keys, "test_keys": keys}], sp)
+
+    def run(dp):
+        hps = HParameters().load_from_args(
+            dict(
+                model="sumgan",
+                datasets=str(synth_h5),
+                splits_files=sp,
+                epochs=2,
+                test_every_epochs=1,
+                data_parallel=dp,
+                log_dir=str(tmp_path / f"logs_dp{dp}"),
+                tensorboard=False,
+                log_level="error",
+                extra_params={
+                    "input_size": 64, "sLSTM_hidden_size": 16,
+                    "edLSTM_hidden_size": 24, "cLSTM_hidden_size": 16,
+                    "pretrain_vae": 1, "batch_size": 4,
+                },
+            )
+        )
+        sf = hps.splits_files[0]
+        dataset = SummarizerDataset(hps.dataset_of_file[sf])
+        engine = make_engine(hps, dataset, hps.dataset_name_of_file[sf])
+        return engine.train_fold(0, hps.splits_of_file[sf][0])
+
+    r_single = run(0)
+    r_dp = run(4)
+    for a, b in zip(
+        jax.tree.leaves(r_single.best_params), jax.tree.leaves(r_dp.best_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    assert abs(r_single.best_corr - r_dp.best_corr) < 1e-5
