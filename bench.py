@@ -140,9 +140,10 @@ def bench_jax_batched(feats, targets, batch=32):
     return vps, mfu
 
 
-def bench_sumgan():
+def bench_sumgan(int8: bool = False):
     """SumGAN 3-phase adversarial step, video-group 20, length-bucketed
-    split-phase path, bf16 streaming (the r2 GAN configuration).  Uses the
+    split-phase path, bf16 streaming (the r2 GAN configuration); ``int8``
+    additionally enables the quantized weight-streaming mode (nn/quant.py).  Uses the
     synthetic TVSum-scale dataset in datasets/.  Round-1 reference point:
     4.21 videos/s (BENCH_NOTES.md)."""
     import jax
@@ -161,7 +162,7 @@ def bench_sumgan():
             "tensorboard": False,
             "log_dir": "logs/bench_sumgan",
             "extra_params": {"pretrain_vae": 0, "batch_size": 20, "bf16": 1,
-                             "split_phases": 1},
+                             "split_phases": 1, "int8": int(int8)},
         }
     )
     sf = hps.splits_files[0]
@@ -208,8 +209,8 @@ def bench_sumgan():
         dt = time.perf_counter() - t0
     trained = (n // bs) * bs
     vps = trained * reps / dt
-    log(f"sumgan 3-phase (group 20, bucketed, bf16): {vps:.2f} videos/s "
-        f"(round-1: 4.21)")
+    log(f"sumgan 3-phase (group 20, bucketed, {'int8' if int8 else 'bf16'}): "
+        f"{vps:.2f} videos/s (round-1: 4.21)")
     return vps
 
 
@@ -326,6 +327,11 @@ def main():
         extras["sumgan_vs_round1"] = round(gan_vps / 4.21, 2)
     except Exception as e:
         log(f"sumgan bench failed: {e}")
+    try:
+        gan_vps8 = bench_sumgan(int8=True)
+        extras["sumgan_int8_videos_per_sec"] = round(gan_vps8, 2)
+    except Exception as e:
+        log(f"sumgan int8 bench failed: {e}")
     try:
         bench_eval_latency()
     except Exception as e:
