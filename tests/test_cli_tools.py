@@ -70,3 +70,44 @@ def test_validate_metrics_cli(synth_h5, capsys):
     report = main(["-d", str(synth_h5)])
     assert abs(report["random_corr"]) < 0.2
     assert report["human_loo_corr"] > 0.3  # synthetic annotators correlate
+
+
+def test_download_degrades_gracefully(tmp_path, monkeypatch, capsys):
+    """Without egress the downloader must not leave partial files, must
+    report per-file failures, and must point at the synthetic generator."""
+    from summarizer_tpu.data import download as dl
+
+    def boom(file_id, destination):
+        with open(destination, "wb") as f:
+            f.write(b"<html>quota page</html>")  # what Drive actually serves
+
+    monkeypatch.setattr(dl, "download_file_from_google_drive", boom)
+    status = dl.download_datasets(str(tmp_path))
+    assert all(v.startswith("failed") for v in status.values()), status
+    assert not list(tmp_path.iterdir())  # partials removed
+    out = capsys.readouterr().out
+    assert "--synthetic" in out
+
+
+def test_download_keeps_valid_existing(tmp_path, monkeypatch):
+    import h5py
+
+    from summarizer_tpu.data import download as dl
+
+    name = next(iter(dl.GDRIVE_FILES.values()))
+    with h5py.File(tmp_path / name, "w") as f:
+        f.create_group("video_1")
+
+    def boom(file_id, destination):
+        raise AssertionError("must not re-download a valid file")
+
+    called = []
+
+    def fail_others(file_id, destination):
+        called.append(destination)
+        raise OSError("no egress")
+
+    monkeypatch.setattr(dl, "download_file_from_google_drive", fail_others)
+    status = dl.download_datasets(str(tmp_path))
+    assert status[name] == "exists"
+    assert sum(v.startswith("failed") for v in status.values()) == 2
