@@ -48,6 +48,10 @@ class Engine:
 
         self.t_max = round_up(max(r.n_steps for r in all_records), 8)
         self.eval_dims = eval_static_dims(all_records, float(hps.summary_proportion))
+        #: every scalar() call is also kept host-side, keyed by (phase, tag),
+        #: so tests can assert learning trends (loss falling, reward rising,
+        #: discriminator separating real/fake) instead of mere finiteness.
+        self.history: dict[tuple[str, str], list[float]] = {}
 
     # ------------------------------------------------------------------ eval
     def make_eval_fn(self, keys: list[str]):
@@ -152,6 +156,7 @@ class Engine:
 
     # -------------------------------------------------------------- tb utils
     def scalar(self, fold, phase, tag, value, step):
+        self.history.setdefault((phase, tag), []).append(float(value))
         self.writer.add_scalar(
             f"{self.dataset_name}/Fold_{fold + 1}/{phase}/{tag}", value, step
         )
