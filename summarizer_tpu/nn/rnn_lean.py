@@ -48,6 +48,15 @@ from summarizer_tpu.nn.quant import (
 F32 = jnp.float32
 
 
+def _pallas_path() -> bool:
+    """Persistent-weight Pallas scans replace the XLA scans on TPU; the int8
+    streaming mode keeps the XLA/qdot path (its weights are re-quantized per
+    read, not resident)."""
+    from summarizer_tpu.nn.rnn_pallas import pallas_rnn_enabled
+
+    return pallas_rnn_enabled() and not int8_enabled()
+
+
 def _compute_dtype(w):
     """The matmul/residual dtype: whatever the policy casts weights to."""
     return cast_rnn_operands(w, w)[1].dtype
@@ -82,6 +91,22 @@ def _layer_fwd_impl(w_ih, w_hh, b, x):
     s, bsz, t, _ = x.shape
     h4 = w_hh.shape[-1]
     hidden = h4 // 4
+    if _pallas_path():
+        # Persistent-weight Pallas scan: W_hh is fetched into VMEM once and
+        # stays resident across all T grid steps (nn/rnn_pallas.py) — the
+        # XLA scan below re-streams it from HBM every timestep.
+        from summarizer_tpu.nn import rnn_pallas
+
+        xg_t = (
+            jnp.einsum(
+                "sbti,sio->stbo", x.astype(cd), w_ih.astype(cd),
+                preferred_element_type=F32,
+            )
+            + b[:, None, None, :]
+        ).astype(cd)
+        zs_t, hs_t, cs_t = rnn_pallas.lstm_scan_fwd(xg_t, w_hh.astype(cd))
+        sw = lambda a: jnp.swapaxes(a, 1, 2)
+        return sw(hs_t), sw(cs_t), sw(zs_t)
     # Stored in the compute dtype: at bf16 this halves the (S,B,T,4H) buffer
     # that lives across the whole scan.
     xg = (
@@ -145,32 +170,40 @@ def _lstm_layer_core_bwd(res, g):
     w_hh_c = w_hh.astype(cd)
     s, bsz, t, hidden = cs_c.shape
 
-    tm = lambda a: jnp.moveaxis(a, 2, 0)  # (S,B,T,·) -> (T,S,B,·)
-    zs_t, cs_t = tm(zs), tm(cs_c)
-    c_prev_t = jnp.concatenate(
-        [jnp.zeros_like(cs_t[:1]), cs_t[:-1]], axis=0
-    )
-    dhs_t, dcs_t = tm(dhs), tm(dcs)
+    if _pallas_path():
+        from summarizer_tpu.nn import rnn_pallas
 
-    wq_b = quant_weight_bwd(w_hh) if int8_enabled() else None
+        sw = lambda a: jnp.swapaxes(a, 1, 2)  # (S,B,T,·) <-> (S,T,B,·)
+        dzs = sw(
+            rnn_pallas.lstm_scan_bwd(sw(zs), sw(cs_c), sw(dhs), sw(dcs), w_hh_c)
+        )
+    else:
+        tm = lambda a: jnp.moveaxis(a, 2, 0)  # (S,B,T,·) -> (T,S,B,·)
+        zs_t, cs_t = tm(zs), tm(cs_c)
+        c_prev_t = jnp.concatenate(
+            [jnp.zeros_like(cs_t[:1]), cs_t[:-1]], axis=0
+        )
+        dhs_t, dcs_t = tm(dhs), tm(dcs)
 
-    def bstep(carry, inp):
-        dh_c, dc_c = carry
-        z_t, c_prev, c_t, dh_out, dc_out = inp
-        dz, dc_prev = _cell_bwd(z_t, c_prev, c_t, dh_out + dh_c, dc_c + dc_out)
-        if wq_b is not None:
-            dh_prev = qdot(dz, wq_b[0], wq_b[1], "sbo,sho->sbh")
-        else:
-            dh_prev = jnp.einsum(
-                "sbo,sho->sbh", dz.astype(cd), w_hh_c, preferred_element_type=F32
-            )
-        return (dh_prev, dc_prev), dz.astype(cd)
+        wq_b = quant_weight_bwd(w_hh) if int8_enabled() else None
 
-    zeros = jnp.zeros((s, bsz, hidden), F32)
-    _, dzs_t = jax.lax.scan(
-        bstep, (zeros, zeros), (zs_t, c_prev_t, cs_t, dhs_t, dcs_t), reverse=True
-    )
-    dzs = jnp.moveaxis(dzs_t, 0, 2)  # (S, B, T, 4H)
+        def bstep(carry, inp):
+            dh_c, dc_c = carry
+            z_t, c_prev, c_t, dh_out, dc_out = inp
+            dz, dc_prev = _cell_bwd(z_t, c_prev, c_t, dh_out + dh_c, dc_c + dc_out)
+            if wq_b is not None:
+                dh_prev = qdot(dz, wq_b[0], wq_b[1], "sbo,sho->sbh")
+            else:
+                dh_prev = jnp.einsum(
+                    "sbo,sho->sbh", dz.astype(cd), w_hh_c, preferred_element_type=F32
+                )
+            return (dh_prev, dc_prev), dz.astype(cd)
+
+        zeros = jnp.zeros((s, bsz, hidden), F32)
+        _, dzs_t = jax.lax.scan(
+            bstep, (zeros, zeros), (zs_t, c_prev_t, cs_t, dhs_t, dcs_t), reverse=True
+        )
+        dzs = jnp.moveaxis(dzs_t, 0, 2)  # (S, B, T, 4H)
 
     hs_c = _recompute_h(zs, cs_c).astype(cd)
     h_prev = jnp.concatenate(
@@ -226,6 +259,27 @@ def lstm_layer_lean_bidir(pf, pb, x, lengths, masked_reverse):
 # encoder heads — via the reverse-scan carries.
 
 
+def _pallas_int8_decode() -> bool:
+    """The int8 decode runs fully VMEM-resident as a Pallas kernel on TPU:
+    all four decoder matrices fit at int8 (67 MB), so per-step HBM weight
+    traffic drops to zero (nn/rnn_pallas.dlstm_decode_fwd_int8)."""
+    from summarizer_tpu.nn.rnn_pallas import pallas_rnn_enabled
+
+    return int8_enabled() and pallas_rnn_enabled()
+
+
+def _decode_fwd_pallas_int8(w_ih, w_hh, b, h0, c0, t_max):
+    """Returns (zs, hs=None, cs) shaped like _decode_fwd_impl plus tops."""
+    from summarizer_tpu.nn import rnn_pallas
+
+    cd = _compute_dtype(w_hh)
+    (iq, is_), (hq, hs_) = quant_weight_fwd(w_ih), quant_weight_fwd(w_hh)
+    tops, zs, cs = rnn_pallas.dlstm_decode_fwd_int8(
+        iq, hq, is_[:, 0, :], hs_[:, 0, :], b, h0, c0, t_max, cd
+    )
+    return tops, zs, cs
+
+
 def _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max):
     cd = _compute_dtype(w_hh)
     layers, bsz, hidden = h0.shape
@@ -273,6 +327,9 @@ def _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max):
 
 
 def _dlstm_core(w_ih, w_hh, b, h0, c0, t_max: int):
+    if _pallas_int8_decode():
+        tops, _, _ = _decode_fwd_pallas_int8(w_ih, w_hh, b, h0, c0, t_max)
+        return jnp.swapaxes(tops, 0, 1)
     _, hs, _ = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
     return jnp.swapaxes(hs[:, -1], 0, 1)  # tops (B, T, H)
 
@@ -282,10 +339,15 @@ _dlstm_core = jax.custom_vjp(_dlstm_core, nondiff_argnums=(5,))
 
 def _dlstm_core_fwd(w_ih, w_hh, b, h0, c0, t_max):
     cd = _compute_dtype(w_hh)
-    zs, hs, cs = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
-    tops = jnp.swapaxes(hs[:, -1], 0, 1)
+    if _pallas_int8_decode():
+        tops_t, zs, cs = _decode_fwd_pallas_int8(w_ih, w_hh, b, h0, c0, t_max)
+        tops = jnp.swapaxes(tops_t, 0, 1)
+    else:
+        zs, hs, cs = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
+        tops = jnp.swapaxes(hs[:, -1], 0, 1)
+        cs = cs.astype(cd)
     # hs not saved; recomputed from (z, c) in the backward (see layer core).
-    res = (w_ih, w_hh, h0.astype(cd), c0.astype(cd), zs, cs.astype(cd))
+    res = (w_ih, w_hh, h0.astype(cd), c0.astype(cd), zs, cs)
     return tops, res
 
 

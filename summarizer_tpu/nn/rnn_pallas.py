@@ -1,0 +1,302 @@
+"""Persistent-weight LSTM scan kernels (Pallas TPU).
+
+The lean LSTM layers (nn/rnn_lean.py) are weight-streaming-bound: a
+`lax.scan` re-reads the recurrent matrix W_hh from HBM on EVERY timestep —
+at SumGAN scale (H=2048, T=640) that is ~21 GB of HBM traffic per layer
+pass for a 33 MB matrix (BENCH_NOTES.md §3).
+
+These kernels run the whole time loop as a Pallas grid with W_hh held in a
+constant-index block: the pipeline fetches it into VMEM ONCE and every grid
+step reuses the resident copy (consecutive equal block indices elide the
+copy).  The recurrent carry (h, c) lives in VMEM scratch, which persists
+across the sequentially-executed grid on TPU.  Measured on v5e at the eLSTM
+shape (B=32, T=640, H=2048): 2.2x over the XLA scan for the forward
+recurrence alone.
+
+Layout contract (time-major so per-step blocks are contiguous):
+  xg  (S, T, B, 4H)  precomputed input gates x@W_ih + b, compute dtype
+  w   (S, H, 4H)     recurrent weights, compute dtype (resident in VMEM)
+  ->  zs (S, T, B, 4H) pre-activations (compute dtype),
+      hs, cs (S, T, B, H) float32
+S is the stack axis (both directions of a bidirectional layer in one call).
+
+Math is identical to nn/rnn_lean._layer_fwd_impl: gates in f32, carries in
+f32, the single in-scan matmul in the compute dtype with f32 accumulation.
+The backward kernel mirrors rnn_lean's reverse scan (dz from saved z/c,
+dh_{t-1} = dz @ W_hh^T) with W_hh^T resident.
+
+Used only when `jax.default_backend() == "tpu"` (or forced for interpret-
+mode tests); the XLA scan remains the CPU / int8-streaming path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import threading
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+_state = threading.local()
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_rnn_enabled() -> bool:
+    forced = getattr(_state, "forced", None)
+    if forced is not None:
+        return forced
+    return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def force_pallas_rnn(enabled: bool = True):
+    """Test hook: force the Pallas scan on (interpret mode on CPU) or off."""
+    prev = getattr(_state, "forced", None)
+    _state.forced = enabled
+    try:
+        yield
+    finally:
+        _state.forced = prev
+
+
+def _gates(z):
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    return jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g), jax.nn.sigmoid(o)
+
+
+# ----------------------------------------------------------------- forward
+def _fwd_kernel(xg_ref, w_ref, zs_ref, hs_ref, cs_ref, h_scr, c_scr, *, cd):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    rec = jnp.dot(
+        h_scr[...].astype(cd), w_ref[0], preferred_element_type=F32
+    )
+    z = xg_ref[0, 0].astype(F32) + rec
+    i, f, g, o = _gates(z)
+    c2 = f * c_scr[...] + i * g
+    h2 = o * jnp.tanh(c2)
+    zs_ref[0, 0] = z.astype(cd)
+    hs_ref[0, 0] = h2
+    cs_ref[0, 0] = c2
+    h_scr[...] = h2
+    c_scr[...] = c2
+
+
+def lstm_scan_fwd(xg, w):
+    """(S,T,B,4H) gate inputs + (S,H,4H) resident weights -> (zs, hs, cs)."""
+    s, t, b, h4 = xg.shape
+    hidden = h4 // 4
+    cd = w.dtype
+    kernel = functools.partial(_fwd_kernel, cd=cd)
+    zs, hs, cs = pl.pallas_call(
+        kernel,
+        grid=(s, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, b, h4), lambda si, ti: (si, ti, 0, 0)),
+            pl.BlockSpec((1, hidden, h4), lambda si, ti: (si, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b, h4), lambda si, ti: (si, ti, 0, 0)),
+            pl.BlockSpec((1, 1, b, hidden), lambda si, ti: (si, ti, 0, 0)),
+            pl.BlockSpec((1, 1, b, hidden), lambda si, ti: (si, ti, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, t, b, h4), cd),
+            jax.ShapeDtypeStruct((s, t, b, hidden), F32),
+            jax.ShapeDtypeStruct((s, t, b, hidden), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), F32),
+            pltpu.VMEM((b, hidden), F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_use_interpret(),
+    )(xg, w)
+    return zs, hs, cs
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_kernel(
+    zs_ref, cprev_ref, cs_ref, dhs_ref, dcs_ref, wt_ref, dzs_ref,
+    dh_scr, dc_scr, *, cd, t_total,
+):
+    ti = pl.program_id(1)  # grid step; time index is t_total - 1 - ti
+
+    @pl.when(ti == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    z = zs_ref[0, 0].astype(F32)
+    # c_{t-1}: block (time-1) clamped at 0 by the index map; zero it at t==0.
+    c_prev = jnp.where(ti == t_total - 1, 0.0, cprev_ref[0, 0].astype(F32))
+    c_t = cs_ref[0, 0].astype(F32)
+    i, f, g, o = _gates(z)
+    tanh_c = jnp.tanh(c_t)
+    dh = dhs_ref[0, 0] + dh_scr[...]
+    dc = dc_scr[...] + dcs_ref[0, 0] + dh * o * (1.0 - tanh_c * tanh_c)
+    dz_o = dh * tanh_c * o * (1.0 - o)
+    dz_i = dc * g * i * (1.0 - i)
+    dz_f = dc * c_prev * f * (1.0 - f)
+    dz_g = dc * i * (1.0 - g * g)
+    dz = jnp.concatenate([dz_i, dz_f, dz_g, dz_o], axis=-1)
+    dzs_ref[0, 0] = dz.astype(cd)
+    dh_scr[...] = jnp.dot(dz.astype(cd), wt_ref[0], preferred_element_type=F32)
+    dc_scr[...] = dc * f
+
+
+# ------------------------------------------------- int8-persistent decoder
+# SumGAN's self-feeding dLSTM needs all four matrices every step (layer 0's
+# input is the top layer's previous output), i.e. 134 MB in bf16 — more than
+# v5e's VMEM.  At int8 (the --int8 opt-in mode, nn/quant.py) the whole
+# decoder is 67 MB and fits RESIDENT: weights are per-output-channel int8
+# quantized once outside, activations are row-quantized on the VPU inside
+# the kernel each step, products run int8 x int8 -> int32 on the MXU — the
+# exact qdot semantics, with zero per-step HBM weight traffic.
+
+
+def _quant_rows(x):
+    # identical arithmetic to nn/quant.quant_sym(x, axis=-1)
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _dec_kernel(
+    wih_ref, whh_ref, sih_ref, shh_ref, b_ref, h0_ref, c0_ref,
+    zs_ref, cs_ref, tops_ref, top_scr, h_scr, c_scr, *, cd, layers,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        top_scr[...] = jnp.zeros_like(top_scr)
+        h_scr[...] = h0_ref[...]
+        c_scr[...] = c0_ref[...]
+
+    x_in = top_scr[...]
+    for li in range(layers):
+        xq, xs = _quant_rows(x_in)
+        hq, hs_ = _quant_rows(h_scr[li])
+        z = (
+            jnp.dot(xq, wih_ref[li], preferred_element_type=jnp.int32).astype(F32)
+            * xs * sih_ref[li][None, :]
+            + jnp.dot(hq, whh_ref[li], preferred_element_type=jnp.int32).astype(F32)
+            * hs_ * shh_ref[li][None, :]
+            + b_ref[li][None, :]
+        )
+        i, f, g, o = _gates(z)
+        c2 = f * c_scr[li] + i * g
+        h2 = o * jnp.tanh(c2)
+        zs_ref[0, li] = z.astype(cd)
+        cs_ref[0, li] = c2.astype(cd)
+        h_scr[li] = h2
+        c_scr[li] = c2
+        x_in = h2
+    tops_ref[0] = x_in
+    top_scr[...] = x_in
+
+
+def dlstm_decode_fwd_int8(wih_q, whh_q, sih, shh, b, h0, c0, t_max: int, cd):
+    """Self-feeding stacked decoder, all weights VMEM-resident as int8.
+
+    wih_q/whh_q (L,H,4H) int8; sih/shh (L,4H) f32 per-channel scales;
+    b (L,4H) f32; h0/c0 (L,B,H) f32.  Returns (tops (T,B,H) f32,
+    zs (T,L,B,4H) cd, cs (T,L,B,H) cd) — zs/cs are the lean-VJP residuals.
+    """
+    layers, bsz, hidden = h0.shape
+    h4 = 4 * hidden
+    kernel = functools.partial(_dec_kernel, cd=cd, layers=layers)
+    whole = lambda *shape: pl.BlockSpec(shape, lambda t: (0,) * len(shape))
+    zs, cs, tops = pl.pallas_call(
+        kernel,
+        grid=(t_max,),
+        in_specs=[
+            whole(layers, hidden, h4),
+            whole(layers, hidden, h4),
+            whole(layers, h4),
+            whole(layers, h4),
+            whole(layers, h4),
+            whole(layers, bsz, hidden),
+            whole(layers, bsz, hidden),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, layers, bsz, h4), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, layers, bsz, hidden), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, bsz, hidden), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, layers, bsz, h4), cd),
+            jax.ShapeDtypeStruct((t_max, layers, bsz, hidden), cd),
+            jax.ShapeDtypeStruct((t_max, bsz, hidden), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, hidden), F32),
+            pltpu.VMEM((layers, bsz, hidden), F32),
+            pltpu.VMEM((layers, bsz, hidden), F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_use_interpret(),
+    )(wih_q, whh_q, sih, shh, b, h0, c0)
+    return tops, zs, cs
+
+
+def lstm_scan_bwd(zs, cs, dhs, dcs, w):
+    """Reverse recurrence: returns dzs (S,T,B,4H) in the compute dtype.
+
+    zs/cs are the forward residuals (time-major); dhs/dcs the f32 output
+    cotangents; w the (S,H,4H) recurrent weights (transposed internally and
+    held resident).
+    """
+    s, t, b, h4 = zs.shape
+    hidden = h4 // 4
+    cd = w.dtype
+    wt = jnp.swapaxes(w, 1, 2)  # (S, 4H, H)
+    kernel = functools.partial(_bwd_kernel, cd=cd, t_total=t)
+    rev = lambda si, ti: (si, t - 1 - ti, 0, 0)
+    rev_prev = lambda si, ti: (si, jnp.maximum(t - 2 - ti, 0), 0, 0)
+    (dzs,) = [
+        pl.pallas_call(
+            kernel,
+            grid=(s, t),
+            in_specs=[
+                pl.BlockSpec((1, 1, b, h4), rev),
+                pl.BlockSpec((1, 1, b, hidden), rev_prev),
+                pl.BlockSpec((1, 1, b, hidden), rev),
+                pl.BlockSpec((1, 1, b, hidden), rev),
+                pl.BlockSpec((1, 1, b, hidden), rev),
+                pl.BlockSpec((1, h4, hidden), lambda si, ti: (si, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, b, h4), rev),
+            out_shape=jax.ShapeDtypeStruct((s, t, b, h4), cd),
+            scratch_shapes=[
+                pltpu.VMEM((b, hidden), F32),
+                pltpu.VMEM((b, hidden), F32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=_use_interpret(),
+        )(zs, cs, cs, dhs, dcs, wt)
+    ]
+    return dzs
