@@ -48,12 +48,22 @@ from summarizer_tpu.nn.quant import (
 F32 = jnp.float32
 
 
-def _pallas_path() -> bool:
+MIN_PALLAS_WEIGHT_ELEMS = 1 << 21  # ~2M: below this the scan's weight re-read
+# is cheap and the per-grid-step overhead of the kernel dominates (e.g. DSN's
+# 256-wide BiLSTM); above it (the SumGAN 1024/2048 nets) persistence wins.
+
+
+def _pallas_path(w_hh=None) -> bool:
     """Persistent-weight Pallas scans replace the XLA scans on TPU; the int8
     streaming mode keeps the XLA/qdot path (its weights are re-quantized per
     read, not resident)."""
-    from summarizer_tpu.nn.rnn_pallas import pallas_rnn_enabled
+    from summarizer_tpu.nn.rnn_pallas import _state, pallas_rnn_enabled
 
+    if getattr(_state, "forced", None) is not None:
+        # test hook: force_pallas_rnn bypasses the size heuristic
+        return pallas_rnn_enabled() and not int8_enabled()
+    if w_hh is not None and w_hh.shape[-1] * w_hh.shape[-2] < MIN_PALLAS_WEIGHT_ELEMS:
+        return False
     return pallas_rnn_enabled() and not int8_enabled()
 
 
@@ -91,7 +101,7 @@ def _layer_fwd_impl(w_ih, w_hh, b, x):
     s, bsz, t, _ = x.shape
     h4 = w_hh.shape[-1]
     hidden = h4 // 4
-    if _pallas_path():
+    if _pallas_path(w_hh):
         # Persistent-weight Pallas scan: W_hh is fetched into VMEM once and
         # stays resident across all T grid steps (nn/rnn_pallas.py) — the
         # XLA scan below re-streams it from HBM every timestep.
@@ -170,7 +180,7 @@ def _lstm_layer_core_bwd(res, g):
     w_hh_c = w_hh.astype(cd)
     s, bsz, t, hidden = cs_c.shape
 
-    if _pallas_path():
+    if _pallas_path(w_hh):
         from summarizer_tpu.nn import rnn_pallas
 
         sw = lambda a: jnp.swapaxes(a, 1, 2)  # (S,B,T,·) <-> (S,T,B,·)

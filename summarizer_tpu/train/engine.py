@@ -134,19 +134,24 @@ class Engine:
         bf16 for the rest of the recurrent math."""
         import contextlib
 
+        ctx = contextlib.ExitStack()
+        if int(getattr(self.hps, "data_parallel", 0) or 0) > 1:
+            # GSPMD cannot partition a pallas_call custom-call over the dp
+            # mesh; keep the (shardable) XLA scans when videos are sharded
+            # across devices.
+            from summarizer_tpu.nn.rnn_pallas import force_pallas_rnn
+
+            ctx.enter_context(force_pallas_rnn(False))
         use_int8 = int(self.hp.get("int8", 0))
         if use_int8 or int(self.hp.get("bf16", 0)):
             from summarizer_tpu.nn.policy import rnn_compute
 
-            ctx = contextlib.ExitStack()
             ctx.enter_context(rnn_compute(jnp.bfloat16))
             if use_int8:
                 from summarizer_tpu.nn.quant import rnn_int8_streaming
 
                 ctx.enter_context(rnn_int8_streaming())
-            return ctx
-
-        return contextlib.nullcontext()
+        return ctx
 
     def init_params(self, rng):
         return self.spec.module.init(rng, self.hp)
