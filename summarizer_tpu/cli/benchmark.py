@@ -36,12 +36,14 @@ MODEL_CONFIGS = [
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
     ("DSN_sup", {"model": "dsn", "epochs": 20, "extra_params": {"sup": 1}}),
     ("SumGAN", {"model": "sumgan", "epochs": 20,
-                "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1}}),
+                "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
+                                 "scan_chunk": 1}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
-                                     "sup": 1}}),
+                                     "sup": 1, "scan_chunk": 1}}),
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
-                    "extra_params": {"batch_size": 20, "pretrain_ae": 20, "bf16": 1}}),
+                    "extra_params": {"batch_size": 20, "pretrain_ae": 20, "bf16": 1,
+                                     "scan_chunk": 1}}),
 ]
 
 
@@ -132,7 +134,19 @@ def main(argv=None):
         run_args["log_level"] = "error"
         if args.datasets:
             run_args["datasets"] = args.datasets
-        rows += benchmark_model(name, run_args)
+        # The remote-TPU worker can crash mid-run (tunnel restarts); one
+        # family's fault must not lose the whole sweep.  One retry, then a
+        # FAILED row.
+        for attempt in (1, 2):
+            try:
+                rows += benchmark_model(name, run_args)
+                break
+            except Exception as e:
+                logging.error(f"{name} attempt {attempt} failed: {e}")
+                if attempt == 2:
+                    for sf in args.splits_files.split(","):
+                        rows.append([name, sf, float("nan"), float("nan"),
+                                     float("nan"), float("nan"), "FAILED"])
 
     table = pd.DataFrame(
         rows,

@@ -53,6 +53,10 @@ def pallas_rnn_enabled() -> bool:
     forced = getattr(_state, "forced", None)
     if forced is not None:
         return forced
+    import os
+
+    if os.environ.get("SUMMARIZER_PALLAS_RNN", "1") == "0":  # ops kill-switch
+        return False
     return jax.default_backend() == "tpu"
 
 
