@@ -170,10 +170,15 @@ def render():
     lines += [
         "",
         "Notes:",
-        "- `*-overfit` rows are single-fold train==test (10 videos): high",
-        "  variance by construction; the DSN/GAN families also consume",
-        "  independent sampling streams (Bernoulli episodes, VAE noise), so",
-        "  their columns compare *distributions*, not trajectories.",
+        "- `*-overfit` rows are single-fold train==test on the 6 SHORTEST",
+        "  videos with 128/256-wide nets (same extra_params on both stacks —",
+        "  the full-width reference SumGAN needs >10 h/config on this",
+        "  single-core host): high variance by construction, and the DSN/GAN",
+        "  families also consume independent sampling streams (Bernoulli",
+        "  episodes, VAE noise), so their columns compare *distributions*,",
+        "  not trajectories.  F1 on 6 near-untrained tiny videos is mostly",
+        "  knapsack-on-noise variance; corr is the meaningful column there",
+        "  (e.g. sumgan_att: 0.605 ref vs 0.591 tpu).",
         "- Wall-clock columns compare a torch-CPU epoch loop against the",
         "  compiled TPU programs *including* all XLA compiles and the",
         "  remote-TPU tunnel round-trips; see BENCH_NOTES.md for steady-state",
