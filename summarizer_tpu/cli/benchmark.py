@@ -117,7 +117,36 @@ def main(argv=None):
     parser.add_argument("--models", type=str, default=None,
                         help="Comma list of model keys to run (default: all)")
     parser.add_argument("--datasets", type=str, default=None)
+    parser.add_argument("--one", type=str, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--in-process", action="store_true",
+                        help="Run configs in this process (no crash isolation)")
     args, _ = parser.parse_known_args(argv)
+
+    def run_args_for(cfg):
+        run_args = dict(cfg)
+        run_args["epochs"] = min(run_args["epochs"], args.max_epochs)
+        run_args["splits_files"] = args.splits_files
+        run_args["log_level"] = "error"
+        if args.datasets:
+            run_args["datasets"] = args.datasets
+        return run_args
+
+    if args.one is not None:
+        # Child mode: run ONE config and emit machine-readable rows.  A
+        # stable per-config log dir + --resume makes a retry after a worker
+        # crash CONTINUE from the last checkpointed fold/epoch rather than
+        # restart from scratch.
+        import json
+        import re
+
+        cfg = dict(dict(MODEL_CONFIGS)[args.one])
+        ra = run_args_for(cfg)
+        slug = re.sub(r"[^A-Za-z0-9]+", "_", args.one).lower()
+        ra["log_dir"] = os.path.join("logs", f"bench_{slug}")
+        ra["resume"] = True
+        for row in benchmark_model(args.one, ra):
+            print("BENCHROW " + json.dumps(row), flush=True)
+        return
 
     log_path = os.path.join(
         "logs", f"{int(datetime.datetime.now().timestamp())}_benchmark"
@@ -128,25 +157,47 @@ def main(argv=None):
     for name, cfg in MODEL_CONFIGS:
         if wanted is not None and cfg["model"] not in wanted:
             continue
-        run_args = dict(cfg)
-        run_args["epochs"] = min(run_args["epochs"], args.max_epochs)
-        run_args["splits_files"] = args.splits_files
-        run_args["log_level"] = "error"
+        if args.in_process:
+            rows += benchmark_model(name, run_args_for(cfg))
+            continue
+        # Each family runs in its own subprocess: a remote-TPU worker crash
+        # poisons the in-process JAX backend beyond recovery, so isolation +
+        # one retry is the only way a fault doesn't lose the whole sweep.
+        import json
+        import subprocess
+        import sys as _sys
+
+        child = [_sys.executable, "-m", "summarizer_tpu.cli.benchmark",
+                 "--one", name, "-e", str(args.max_epochs),
+                 "-s", args.splits_files]
         if args.datasets:
-            run_args["datasets"] = args.datasets
-        # The remote-TPU worker can crash mid-run (tunnel restarts); one
-        # family's fault must not lose the whole sweep.  One retry, then a
-        # FAILED row.
-        for attempt in (1, 2):
+            child += ["--datasets", args.datasets]
+        got = False
+        for attempt in (1, 2, 3, 4):
             try:
-                rows += benchmark_model(name, run_args)
+                p = subprocess.run(
+                    child, capture_output=True, text=True, timeout=3600
+                )
+                out, err, rc = p.stdout, p.stderr, p.returncode
+            except subprocess.TimeoutExpired as e:
+                out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+                err, rc = "timeout", "timeout"
+            new = [json.loads(l[len("BENCHROW "):])
+                   for l in out.splitlines() if l.startswith("BENCHROW ")]
+            if new:
+                rows += new
+                got = True
                 break
-            except Exception as e:
-                logging.error(f"{name} attempt {attempt} failed: {e}")
-                if attempt == 2:
-                    for sf in args.splits_files.split(","):
-                        rows.append([name, sf, float("nan"), float("nan"),
-                                     float("nan"), float("nan"), "FAILED"])
+            logging.error(
+                f"{name} attempt {attempt} failed (rc={rc}): {str(err)[-300:]}"
+            )
+            # The tunneled TPU worker needs time to come back after a crash;
+            # the retry resumes from the child's per-fold checkpoints.
+            time.sleep(180)
+        if not got:
+            for sf in args.splits_files.split(","):
+                rows.append([name, sf, float("nan"), float("nan"),
+                             float("nan"), float("nan"), "FAILED"])
 
     table = pd.DataFrame(
         rows,

@@ -99,9 +99,30 @@ def _fwd_kernel(xg_ref, w_ref, zs_ref, hs_ref, cs_ref, h_scr, c_scr, *, cd):
     c_scr[...] = c2
 
 
+def _pad_rows(a, b_pad):
+    """Pad the batch (second-to-last) axis up to b_pad rows."""
+    if a.shape[-2] == b_pad:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[-2] = (0, b_pad - a.shape[-2])
+    return jnp.pad(a, widths)
+
+
+def _round_rows(b, dtype):
+    """Sublane-aligned row count for ``dtype`` (f32 tiles are (8,128),
+    bf16 (16,128)): unaligned batch blocks force masked partial-tile stores
+    on every grid step — pad once outside instead."""
+    mult = 8 if dtype == jnp.float32 else 16
+    return max(mult, -(-b // mult) * mult)
+
+
 def lstm_scan_fwd(xg, w):
     """(S,T,B,4H) gate inputs + (S,H,4H) resident weights -> (zs, hs, cs)."""
     s, t, b, h4 = xg.shape
+    b_pad = _round_rows(b, w.dtype)
+    if b_pad != b:
+        zs, hs, cs = lstm_scan_fwd(_pad_rows(xg, b_pad), w)
+        return zs[:, :, :b], hs[:, :, :b], cs[:, :, :b]
     hidden = h4 // 4
     cd = w.dtype
     kernel = functools.partial(_fwd_kernel, cd=cd)
@@ -225,6 +246,13 @@ def dlstm_decode_fwd_int8(wih_q, whh_q, sih, shh, b, h0, c0, t_max: int, cd):
     zs (T,L,B,4H) cd, cs (T,L,B,H) cd) — zs/cs are the lean-VJP residuals.
     """
     layers, bsz, hidden = h0.shape
+    b_pad = _round_rows(bsz, cd)
+    if b_pad != bsz:
+        tops, zs, cs = dlstm_decode_fwd_int8(
+            wih_q, whh_q, sih, shh, b, _pad_rows(h0, b_pad),
+            _pad_rows(c0, b_pad), t_max, cd,
+        )
+        return tops[:, :bsz], zs[:, :, :bsz], cs[:, :, :bsz]
     h4 = 4 * hidden
     kernel = functools.partial(_dec_kernel, cd=cd, layers=layers)
     whole = lambda *shape: pl.BlockSpec(shape, lambda t: (0,) * len(shape))
@@ -272,6 +300,12 @@ def lstm_scan_bwd(zs, cs, dhs, dcs, w):
     held resident).
     """
     s, t, b, h4 = zs.shape
+    b_pad = _round_rows(b, w.dtype)
+    if b_pad != b:
+        return lstm_scan_bwd(
+            _pad_rows(zs, b_pad), _pad_rows(cs, b_pad),
+            _pad_rows(dhs, b_pad), _pad_rows(dcs, b_pad), w,
+        )[:, :, :b]
     hidden = h4 // 4
     cd = w.dtype
     wt = jnp.swapaxes(w, 1, 2)  # (S, 4H, H)

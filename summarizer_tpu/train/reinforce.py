@@ -232,4 +232,11 @@ class ReinforceEngine(Engine):
                                    epoch=epoch + 1, rng=rng,
                                    extras={"baselines": baselines}),
                     )
+        if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
+            # No eval fired this run (e.g. a --resume retry landed at/past the
+            # final epoch): score the current params so the fold result is
+            # real instead of the sentinel.
+            rng, k_fin = jax.random.split(rng)
+            corr, af1, mf1 = eval_fn(params, k_fin)
+            best = FoldResult(corr, af1, mf1, jax.device_get(params))
         return best

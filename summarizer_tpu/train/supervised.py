@@ -198,4 +198,11 @@ class SupervisedEngine(Engine):
                 f"epoch timing: mean {s['mean_s'] * 1e3:.1f} ms  "
                 f"p50 {s['p50_s'] * 1e3:.1f} ms  p95 {s['p95_s'] * 1e3:.1f} ms"
             )
+        if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
+            # No eval fired this run (e.g. a --resume retry landed at/past the
+            # final epoch): score the current params so the fold result is
+            # real instead of the sentinel.
+            rng, k_fin = jax.random.split(rng)
+            corr, af1, mf1 = eval_fn(params, k_fin)
+            best = FoldResult(corr, af1, mf1, jax.device_get(params))
         return best

@@ -194,3 +194,26 @@ def test_train_state_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.params["head"]["w"]), np.asarray(params["head"]["w"])
     )
+
+
+def test_resume_retry_past_end_still_evaluates(tmp_path, synth_h5):
+    """A --resume retry that lands at/past the final epoch (e.g. the
+    benchmark sweep re-running a config after a device crash) must still
+    produce a real FoldResult by evaluating the restored params, not the
+    (-1, 0, 0) sentinel."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64},
+        epochs=4, test_every_epochs=2, lr=1e-3, resume=True,
+        log_dir=str(tmp_path / "stable_logs"),
+    )
+    first = train(hps)
+    hps2, _ = _mk_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64},
+        epochs=4, test_every_epochs=2, lr=1e-3, resume=True,
+        log_dir=str(tmp_path / "stable_logs"),
+    )
+    second = train(hps2)
+    assert second[0][1] > -1.0 and second[0][3] > 0.0
+    assert abs(second[0][1] - first[0][1]) < 0.2
