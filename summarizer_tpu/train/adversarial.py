@@ -183,9 +183,7 @@ class _AdversarialBase(Engine):
 
         import os as _os
 
-        state_path = getattr(hps, "resume_path", None) or _os.path.join(
-            hps.log_path, f"state_fold{fold}.ckpt"
-        )
+        state_path = self.state_path(fold)
         start_epoch = 0
         if getattr(hps, "resume", False) and _os.path.exists(state_path):
             from summarizer_tpu.train.resume import TrainState, load_state
@@ -248,9 +246,9 @@ class _AdversarialBase(Engine):
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
                 if getattr(hps, "resume", False):
-                    from summarizer_tpu.train.resume import TrainState, save_state
+                    from summarizer_tpu.train.resume import TrainState
 
-                    save_state(
+                    self.maybe_save_state(
                         state_path,
                         TrainState(params=params, opt_state=opt_states,
                                    epoch=epoch + 1, rng=rng),

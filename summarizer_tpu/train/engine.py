@@ -159,6 +159,33 @@ class Engine:
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         raise NotImplementedError
 
+    # ----------------------------------------------------------- resume utils
+    def state_path(self, fold: int) -> str:
+        """Per-(dataset, fold) train-state path.  The dataset component
+        matters: a multi-splits-file run (benchmark sweep) reuses the same
+        log dir, and a bare ``state_fold{k}`` name would make the second
+        dataset's folds resume from the first's checkpoints."""
+        import os
+
+        return getattr(self.hps, "resume_path", None) or os.path.join(
+            self.hps.log_path, f"state_{self.dataset_name}_fold{fold}.ckpt"
+        )
+
+    def maybe_save_state(self, path, state, min_interval_s: float = 150.0):
+        """Save train state for crash recovery, wall-gated: GAN states are
+        multi-GB (3 Adam chains over ~190M params), so saving at every test
+        epoch costs more than the training it protects."""
+        import time as _time
+
+        now = _time.monotonic()
+        last = getattr(self, "_last_state_save", 0.0)
+        if now - last < min_interval_s:
+            return
+        from summarizer_tpu.train.resume import save_state
+
+        save_state(path, state)
+        self._last_state_save = now
+
     # -------------------------------------------------------------- tb utils
     def scalar(self, fold, phase, tag, value, step):
         self.history.setdefault((phase, tag), []).append(float(value))

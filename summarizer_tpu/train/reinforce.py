@@ -166,9 +166,7 @@ class ReinforceEngine(Engine):
         epoch_fn = self.make_epoch_fn(optimizer)
         eval_fn = self.make_eval_fn(test_keys)
 
-        state_path = getattr(hps, "resume_path", None) or os.path.join(
-            hps.log_path, f"state_fold{fold}.ckpt"
-        )
+        state_path = self.state_path(fold)
         start_epoch = 0
         if getattr(hps, "resume", False) and os.path.exists(state_path):
             from summarizer_tpu.train.resume import TrainState, load_state
@@ -224,9 +222,9 @@ class ReinforceEngine(Engine):
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
                 if getattr(hps, "resume", False):
-                    from summarizer_tpu.train.resume import TrainState, save_state
+                    from summarizer_tpu.train.resume import TrainState
 
-                    save_state(
+                    self.maybe_save_state(
                         state_path,
                         TrainState(params=params, opt_state=opt_state,
                                    epoch=epoch + 1, rng=rng,

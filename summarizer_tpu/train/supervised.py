@@ -117,9 +117,7 @@ class SupervisedEngine(Engine):
 
         # Optional mid-run resume (new capability; the reference loses all
         # progress on a crash, SURVEY.md §5).
-        state_path = getattr(hps, "resume_path", None) or os.path.join(
-            hps.log_path, f"state_fold{fold}.ckpt"
-        )
+        state_path = self.state_path(fold)
         start_epoch = 0
         if getattr(hps, "resume", False) and os.path.exists(state_path):
             from summarizer_tpu.train.resume import TrainState, load_state
@@ -185,9 +183,9 @@ class SupervisedEngine(Engine):
                     best.best_corr = corr
                     best.best_params = jax.device_get(params)
                 if getattr(hps, "resume", False):
-                    from summarizer_tpu.train.resume import TrainState, save_state
+                    from summarizer_tpu.train.resume import TrainState
 
-                    save_state(
+                    self.maybe_save_state(
                         state_path,
                         TrainState(params=params, opt_state=opt_state, epoch=epoch + 1, rng=rng),
                     )
