@@ -163,6 +163,50 @@ def test_vasnet_ignore_self_and_aperture_match_torch():
     np.testing.assert_allclose(ours_y, ref_y, atol=2e-5, rtol=2e-4)
 
 
+def test_transformer_full_model_matches_torch():
+    """Assembled Transformer scorer (summarizer/models/transformer.py:18-103):
+    N post-norm encoder layers, a final LayerNorm whose parameters are SHARED
+    with the head norm, k1 -> relu -> shared norm -> k2 -> sigmoid."""
+    from tests.test_torch_parity import copy_encoder_layer
+
+    from summarizer_tpu.models import transformer
+
+    torch.manual_seed(11)
+    n_layers, heads = 3, 4
+    t_layers = [
+        torch.nn.TransformerEncoderLayer(D, heads, dim_feedforward=D, dropout=0.0).eval()
+        for _ in range(n_layers)
+    ]
+    norm = nn.LayerNorm(D, eps=1e-5)
+    k1, k2 = nn.Linear(D, D), nn.Linear(D, 1)
+
+    params = {
+        "layers": [copy_encoder_layer(la) for la in t_layers],
+        "norm": {"g": t2j(norm.weight), "b": t2j(norm.bias)},
+        "k1": {"w": t2j(k1.weight.T), "b": t2j(k1.bias)},
+        "k2": {"w": t2j(k2.weight.T), "b": t2j(k2.bias)},
+    }
+    hp = {"input_size": D, "encoder_layers": n_layers, "attention_heads": heads,
+          "dropout": 0.0, "head_dropout": 0.0}
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(T, D).astype(np.float32)
+
+    with torch.no_grad():
+        h = torch.from_numpy(x)[:, None]  # (T, 1, D), torch seq-first
+        for la in t_layers:
+            h = la(h)
+        h = norm(h)
+        y = norm(torch.relu(k1(h)))
+        ref_y = torch.sigmoid(k2(y))[:, 0, 0].numpy()
+
+    ours_y = np.asarray(
+        transformer.apply(params, jnp.asarray(x)[None],
+                          jnp.ones((1, T), jnp.float32), train=False, hp=hp)[0]
+    )
+    np.testing.assert_allclose(ours_y, ref_y, atol=3e-5, rtol=2e-4)
+
+
 class TorchDSN(nn.Module):
     """Reference DSN (dsn.py:17-47): 1-layer bidirectional LSTM, hidden H,
     linear(2H -> 1) + sigmoid."""
