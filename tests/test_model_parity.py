@@ -222,6 +222,81 @@ class TorchDSN(nn.Module):
         return torch.sigmoid(self.fc(h))[0, :, 0]
 
 
+def test_sumgan_chain_matches_torch():
+    """The four SumGAN sub-nets (summarizer/models/sumgan.py:23-258) driven
+    deterministically (VAE noise = 0): sLSTM selector scores, eLSTM mu/logvar
+    heads on final hidden states, the self-feeding dLSTM decode (zero initial
+    input, previous top output as next input, reversed reconstruction), and
+    the cLSTM last-output discriminator."""
+    from summarizer_tpu.models.sumgan import (
+        clstm_apply,
+        dlstm_apply,
+        elstm_apply,
+        slstm_apply,
+    )
+
+    d, H, Hc, t = 24, 32, 28, 12
+    torch.manual_seed(21)
+    s_rnn = nn.LSTM(d, H, 2, bidirectional=True, batch_first=True)
+    s_fc = nn.Linear(2 * H, 1)
+    e_rnn = nn.LSTM(d, H, 2, batch_first=True)
+    e_mu, e_logvar = nn.Linear(H, H), nn.Linear(H, H)
+    d_rnn = nn.LSTM(H, H, 2, batch_first=True)
+    d_fc = nn.Linear(H, d)
+    c_rnn = nn.LSTM(d, Hc, 2, batch_first=True)
+    c_fc = nn.Linear(Hc, 1)
+
+    lin = lambda m: {"w": t2j(m.weight.T), "b": t2j(m.bias)}  # noqa: E731
+    p_s = {"lstm": copy_rnn_params(s_rnn, 4, 2, True), "out": lin(s_fc)}
+    p_e = {"lstm": copy_rnn_params(e_rnn, 4, 2, False), "mu": lin(e_mu),
+           "logvar": lin(e_logvar)}
+    p_d = {"lstm": copy_rnn_params(d_rnn, 4, 2, False), "recons": lin(d_fc)}
+    p_c = {"lstm": copy_rnn_params(c_rnn, 4, 2, False), "out": lin(c_fc)}
+
+    rng = np.random.RandomState(22)
+    x = rng.randn(1, t, d).astype(np.float32)
+    xt = torch.from_numpy(x)
+    lengths = jnp.full((1,), t, jnp.int32)
+
+    with torch.no_grad():
+        # selector
+        ref_scores = torch.sigmoid(s_fc(s_rnn(xt)[0]))[0, :, 0].numpy()
+        # encoder heads on final hidden states (L, B, H)
+        _, (he, ce) = e_rnn(xt)
+        ref_mu, ref_logvar = e_mu(he).numpy(), e_logvar(he).numpy()
+        # self-feeding decode from (mu, ce), zero initial input
+        h, c = torch.from_numpy(ref_mu), ce
+        inp = torch.zeros(1, 1, H)
+        tops = []
+        for _ in range(t):
+            out, (h, c) = d_rnn(inp, (h, c))
+            tops.append(out)
+            inp = out
+        x_hat = d_fc(torch.cat(tops, dim=1))
+        ref_xhat = torch.flip(x_hat, dims=[1]).numpy()  # reversed reconstruction
+        # discriminator: prob + feature from last output
+        couts, _ = c_rnn(xt)
+        ref_hlast = couts[:, -1].numpy()
+        ref_prob = torch.sigmoid(c_fc(couts[:, -1]))[:, 0].numpy()
+
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(
+        np.asarray(slstm_apply(p_s, xj, lengths)[0]), ref_scores,
+        atol=2e-5, rtol=2e-4)
+    (mu, logvar), c_last = elstm_apply(p_e, xj, lengths)
+    np.testing.assert_allclose(np.asarray(mu), ref_mu, atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar, atol=2e-5,
+                               rtol=2e-4)
+    got_xhat = dlstm_apply(p_d, t, mu, c_last, lengths)
+    np.testing.assert_allclose(np.asarray(got_xhat), ref_xhat, atol=3e-5,
+                               rtol=5e-4)
+    probs, h_last = clstm_apply(p_c, xj, lengths)
+    np.testing.assert_allclose(np.asarray(h_last), ref_hlast, atol=2e-5,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(probs), ref_prob, atol=2e-5,
+                               rtol=2e-4)
+
+
 def test_dsn_full_model_matches_torch():
     H = 32
     torch.manual_seed(7)
