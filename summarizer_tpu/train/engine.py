@@ -174,16 +174,27 @@ class Engine:
     def maybe_save_state(self, path, state, min_interval_s: float = 150.0):
         """Save train state for crash recovery, wall-gated: GAN states are
         multi-GB (3 Adam chains over ~190M params), so saving at every test
-        epoch costs more than the training it protects."""
+        epoch costs more than the training it protects.  The gate adapts:
+        a save is also skipped while the *measured* cost of the last save
+        exceeds a third of the wall since then (the tunnel fetch of a 2.3 GB
+        GAN state can take minutes; crash recovery must not cost more than
+        the training it insures)."""
+        import logging
         import time as _time
 
         now = _time.monotonic()
         last = getattr(self, "_last_state_save", 0.0)
-        if now - last < min_interval_s:
+        cost = getattr(self, "_last_state_save_cost", 0.0)
+        if now - last < max(min_interval_s, 3.0 * cost):
             return
         from summarizer_tpu.train.resume import save_state
 
         save_state(path, state)
+        self._last_state_save_cost = _time.monotonic() - now
+        if self._last_state_save_cost > 10.0:
+            logging.info(
+                f"state save took {self._last_state_save_cost:.0f}s ({path})"
+            )
         self._last_state_save = now
 
     # -------------------------------------------------------------- tb utils
