@@ -207,6 +207,76 @@ def test_transformer_full_model_matches_torch():
     np.testing.assert_allclose(ours_y, ref_y, atol=3e-5, rtol=2e-4)
 
 
+def test_sumgan_att_selector_and_ae_match_torch():
+    """SumGAN-att assembly (summarizer/models/sumgan_att.py:20-146):
+    post-norm transformer selector with shared final norm + sigmoid head,
+    and the encoder-decoder AE whose decoder target is the RAW input
+    sequence attending to encoder memory (no causal mask)."""
+    from tests.test_torch_parity import copy_encoder_layer, copy_mha
+
+    from summarizer_tpu.models.sumgan_att import ae_apply, selector_apply
+
+    d, heads, t = 32, 4, 10
+    torch.manual_seed(31)
+    s_layers = [torch.nn.TransformerEncoderLayer(d, heads, d, dropout=0.0).eval()
+                for _ in range(2)]
+    s_norm = nn.LayerNorm(d, eps=1e-5)
+    s_out = nn.Linear(d, 1)
+    e_layers = [torch.nn.TransformerEncoderLayer(d, heads, d, dropout=0.0).eval()
+                for _ in range(2)]
+    d_layers = [torch.nn.TransformerDecoderLayer(d, heads, d, dropout=0.0).eval()
+                for _ in range(2)]
+
+    def copy_decoder_layer(la):
+        return {
+            "self_attn": copy_mha(la.self_attn),
+            "cross_attn": copy_mha(la.multihead_attn),
+            "lin1": {"w": t2j(la.linear1.weight.T), "b": t2j(la.linear1.bias)},
+            "lin2": {"w": t2j(la.linear2.weight.T), "b": t2j(la.linear2.bias)},
+            "norm1": {"g": t2j(la.norm1.weight), "b": t2j(la.norm1.bias)},
+            "norm2": {"g": t2j(la.norm2.weight), "b": t2j(la.norm2.bias)},
+            "norm3": {"g": t2j(la.norm3.weight), "b": t2j(la.norm3.bias)},
+        }
+
+    p_sel = {
+        "layers": [copy_encoder_layer(la) for la in s_layers],
+        "norm": {"g": t2j(s_norm.weight), "b": t2j(s_norm.bias)},
+        "out": {"w": t2j(s_out.weight.T), "b": t2j(s_out.bias)},
+    }
+    p_ae = {
+        "enc": [copy_encoder_layer(la) for la in e_layers],
+        "dec": [copy_decoder_layer(la) for la in d_layers],
+    }
+
+    rng = np.random.RandomState(32)
+    x = rng.randn(t, d).astype(np.float32)
+    mask = jnp.ones((1, t), jnp.float32)
+
+    with torch.no_grad():
+        h = torch.from_numpy(x)[:, None]  # (T, 1, D)
+        for la in s_layers:
+            h = la(h)
+        ref_scores = torch.sigmoid(s_out(s_norm(h)))[:, 0, 0].numpy()
+        mem = torch.from_numpy(x)[:, None]
+        for la in e_layers:
+            mem = la(mem)
+        hd = torch.from_numpy(x)[:, None]  # decoder target = raw input
+        for la in d_layers:
+            hd = la(hd, mem)
+        ref_xhat = hd[:, 0].numpy()
+
+    key = jax.random.PRNGKey(0)
+    got_scores = np.asarray(
+        selector_apply(p_sel, jnp.asarray(x)[None], mask, heads, key,
+                       train=False)[0]
+    )
+    np.testing.assert_allclose(got_scores, ref_scores, atol=3e-5, rtol=2e-4)
+    got_xhat = np.asarray(
+        ae_apply(p_ae, jnp.asarray(x)[None], mask, heads, key, train=False)[0]
+    )
+    np.testing.assert_allclose(got_xhat, ref_xhat, atol=5e-5, rtol=5e-4)
+
+
 class TorchDSN(nn.Module):
     """Reference DSN (dsn.py:17-47): 1-layer bidirectional LSTM, hidden H,
     linear(2H -> 1) + sigmoid."""
