@@ -163,6 +163,56 @@ def test_vasnet_ignore_self_and_aperture_match_torch():
     np.testing.assert_allclose(ours_y, ref_y, atol=2e-5, rtol=2e-4)
 
 
+def ref_dsn_reward(x, actions, far_sim, thre):
+    """Numpy replica of the reference diversity-representativeness reward
+    (summarizer/models/dsn.py:185-236): mean pairwise cosine dissimilarity
+    over picked pairs (far pairs forced to 1 unless far_sim), and
+    exp(-mean min sq-dist of every frame to its nearest pick)."""
+    picks = np.where(actions > 0)[0]
+    if len(picks) == 0:
+        return 0.0
+    normed = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dissim = 1.0 - normed @ normed.T
+    if not far_sim:
+        ij = np.arange(len(x))
+        dissim[np.abs(ij[:, None] - ij[None, :]) > thre] = 1.0
+    if len(picks) == 1:
+        r_div = 0.0
+    else:
+        sub = dissim[np.ix_(picks, picks)]
+        r_div = (sub.sum() - np.trace(sub)) / (len(picks) * (len(picks) - 1))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    r_rep = np.exp(-d2[:, picks].min(axis=1).mean())
+    return 0.5 * (r_div + r_rep)
+
+
+@pytest.mark.parametrize("far_sim", [False, True])
+@pytest.mark.parametrize("n_picks", [0, 1, 7])
+def test_dsn_reward_matches_reference_formula(far_sim, n_picks):
+    from summarizer_tpu.train.reinforce import compute_reward
+
+    t, d = 40, 16
+    rng = np.random.RandomState(n_picks + 10 * far_sim)
+    x = rng.randn(t, d).astype(np.float32)
+    actions = np.zeros(t, np.float32)
+    if n_picks:
+        actions[rng.choice(t, n_picks, replace=False)] = 1.0
+
+    want = ref_dsn_reward(x, actions, far_sim, 20)
+    got = float(compute_reward(jnp.asarray(x), jnp.asarray(actions),
+                               jnp.ones(t, jnp.float32), far_sim, 20))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    # padded form: zero-padded tail + mask must reproduce the unpadded value
+    pad = 17
+    xp = np.concatenate([x, np.zeros((pad, d), np.float32)])
+    ap = np.concatenate([actions, np.zeros(pad, np.float32)])
+    mp = np.concatenate([np.ones(t, np.float32), np.zeros(pad, np.float32)])
+    got_p = float(compute_reward(jnp.asarray(xp), jnp.asarray(ap),
+                                 jnp.asarray(mp), far_sim, 20))
+    np.testing.assert_allclose(got_p, want, atol=1e-5, rtol=1e-4)
+
+
 def test_transformer_full_model_matches_torch():
     """Assembled Transformer scorer (summarizer/models/transformer.py:18-103):
     N post-norm encoder layers, a final LayerNorm whose parameters are SHARED
