@@ -102,7 +102,9 @@ def googlenet_apply(params, x):
     std = jnp.asarray([0.229, 0.224, 0.225])
     x = (x - mean) / std
 
-    x = _conv(params["conv1"], x, stride=2)  # 112
+    # conv1: torchvision pads 3 on BOTH sides (Conv2d(..., padding=3)); XLA
+    # SAME at 224/stride-2 would pad (2, 3) and shift the grid by a pixel.
+    x = _conv(params["conv1"], x, stride=2, padding=((3, 3), (3, 3)))  # 112
     x = _maxpool(x)  # 56
     x = _conv(params["conv2"], x)
     x = _conv(params["conv3"], x)
@@ -112,7 +114,7 @@ def googlenet_apply(params, x):
     x = _maxpool(x)  # 14
     for name in ("4a", "4b", "4c", "4d", "4e"):
         x = _inception(params[f"inception{name}"], x)
-    x = _maxpool(x)  # 7
+    x = _maxpool(x, k=2, padding="VALID")  # 7 (torchvision maxpool4 is 2x2)
     x = _inception(params["inception5a"], x)
     x = _inception(params["inception5b"], x)
     return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 1024)
