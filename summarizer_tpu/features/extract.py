@@ -44,6 +44,20 @@ def iter_video_frames(path_or_dir: str, every: int = SUBSAMPLE):
     cap.release()
 
 
+def count_frames(path_or_dir: str) -> int:
+    """True total frame count (the subsample loop only sees every 15th, so
+    the last *picked* index understates n_frames by up to 14 — enough to
+    clip the final summary segment)."""
+    import cv2
+
+    if os.path.isdir(path_or_dir):
+        return sum(1 for n in os.listdir(path_or_dir) if n.endswith(".jpg"))
+    cap = cv2.VideoCapture(path_or_dir)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    cap.release()
+    return n
+
+
 def _preprocess(frames: list[np.ndarray]) -> np.ndarray:
     import cv2
 
@@ -90,6 +104,9 @@ def extract_features(
         if len(buf) == batch:
             flush()
     flush()
+    # cv2's frame-count property can be unreliable (0) for some containers;
+    # the last decoded index is the floor in that case.
+    n_frames = max(n_frames, count_frames(path_or_dir))
 
     features = (
         np.concatenate(feats, axis=0) if feats else np.zeros((0, 1024), np.float32)

@@ -84,6 +84,49 @@ class TorchGoogLeNetTower(nn.Module):
         return x.mean(dim=(2, 3))  # adaptive avg pool to 1x1
 
 
+def test_extract_pipeline_end_to_end(tmp_path):
+    """Raw frames dir -> extract_features -> schema h5: 15x subsampling
+    picks, segment bookkeeping, and the feature matrix shape (the raw-video
+    path replacing the reference's precomputed downloads,
+    summarizer/datasets/README.md:46)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from summarizer_tpu.features.extract import extract_features, write_features_h5
+    from summarizer_tpu.features.googlenet import googlenet_init
+
+    import jax
+
+    frames_dir = tmp_path / "video1"
+    frames_dir.mkdir()
+    rng = np.random.RandomState(9)
+    n_frames = 40
+    for i in range(n_frames):
+        img = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(frames_dir / f"{i + 1:06d}.jpg"), img)
+
+    params = googlenet_init(jax.random.PRNGKey(0))
+    v = extract_features(params, str(frames_dir), batch=2, fps=10.0)
+
+    assert list(v["picks"]) == [0, 15, 30]
+    assert v["n_steps"] == 3
+    assert v["features"].shape == (3, 1024)
+    assert np.all(np.isfinite(v["features"]))
+    assert v["n_frames"] == n_frames
+    # segments tile [0, n_frames) contiguously
+    cps = v["change_points"]
+    assert cps[0, 0] == 0 and cps[-1, 1] == n_frames - 1
+    assert np.all(cps[1:, 0] == cps[:-1, 1] + 1)
+    assert v["n_frame_per_seg"].sum() == n_frames
+
+    out = str(tmp_path / "feats.h5")
+    write_features_h5(out, {"video_1": v})
+    import h5py
+
+    with h5py.File(out, "r") as f:
+        assert f["video_1/features"].shape == (3, 1024)
+        assert list(f["video_1/picks"][()]) == [0, 15, 30]
+
+
 def test_googlenet_pool5_matches_torch_replica():
     sd = fabricate_state_dict(seed=5)
     m = TorchGoogLeNetTower()
