@@ -80,20 +80,27 @@ class Engine:
         hp = self.hp
 
         if use_device:
+            # One jitted program per ENGINE, not per fold: eval dims are
+            # dataset-global (see __init__), so every fold shares shapes and
+            # re-jitting per fold would only re-trace the same computation.
+            eval_program = getattr(self, "_eval_program", None)
+            if eval_program is None:
 
-            @jax.jit
-            def eval_program(params, rng, feats, mask, batch):
-                scores = apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
-                corr, af1, mf1 = evaluate_batch(
-                    scores,
-                    batch,
-                    proportion=prop,
-                    method=method,
-                    max_capacity=cap,
-                    out_frames=f,
-                    metric=corr_metric,
-                )
-                return corr.mean(), af1.mean(), mf1.mean()
+                @jax.jit
+                def eval_program(params, rng, feats, mask, batch):
+                    scores = apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+                    corr, af1, mf1 = evaluate_batch(
+                        scores,
+                        batch,
+                        proportion=prop,
+                        method=method,
+                        max_capacity=cap,
+                        out_frames=f,
+                        metric=corr_metric,
+                    )
+                    return corr.mean(), af1.mean(), mf1.mean()
+
+                self._eval_program = eval_program
 
             def run(params, rng):
                 c, a, m = eval_program(params, rng, feats, mask, batch)
@@ -102,9 +109,14 @@ class Engine:
             return run
 
         # Host-oracle path: device forward, numpy eval (exact reference arith).
-        @jax.jit
-        def forward(params, rng, feats, mask):
-            return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+        forward = getattr(self, "_eval_forward", None)
+        if forward is None:
+
+            @jax.jit
+            def forward(params, rng, feats, mask):
+                return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+
+            self._eval_forward = forward
 
         def run(params, rng):
             scores = np.asarray(forward(params, rng, feats, mask))

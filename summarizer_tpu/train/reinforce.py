@@ -160,10 +160,15 @@ class ReinforceEngine(Engine):
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
         params = self.init_params(k_init)
-        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay), clip_norm=5.0)
+        # Fold-invariant programs, built once per engine (see supervised.py).
+        cached = getattr(self, "_train_program", None)
+        if cached is None:
+            optimizer = torch_adam(
+                float(hps.lr), float(hps.weight_decay), clip_norm=5.0
+            )
+            self._train_program = (optimizer, self.make_epoch_fn(optimizer))
+        optimizer, epoch_fn = self._train_program
         opt_state = optimizer.init(params)
-
-        epoch_fn = self.make_epoch_fn(optimizer)
         eval_fn = self.make_eval_fn(test_keys)
 
         state_path = self.state_path(fold)

@@ -101,18 +101,29 @@ class SupervisedEngine(Engine):
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
         params = self.init_params(k_init)
-        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
+        # Optimizer + epoch program are fold-invariant (optax transforms are
+        # stateless; train shapes are padded to the dataset-global t_max), so
+        # build them once per engine — per-fold closures would re-trace the
+        # identical program every fold.
+        cached = getattr(self, "_train_program", None)
+        if cached is None:
+            optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
+            bs = max(1, int(hps.batch_size))
+            mesh = None
+            if int(getattr(hps, "data_parallel", 0)) > 1:
+                from summarizer_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(
+                    int(hps.data_parallel), dp=int(hps.data_parallel), tp=1
+                )
+            epoch_fn = make_epoch_fn(
+                self.spec.module.apply, self.hp, optimizer,
+                self.spec.trainable, bs, mesh,
+            )
+            self._train_program = (optimizer, epoch_fn)
+        else:
+            optimizer, epoch_fn = cached
         opt_state = optimizer.init(params)
-
-        bs = max(1, int(hps.batch_size))
-        mesh = None
-        if int(getattr(hps, "data_parallel", 0)) > 1:
-            from summarizer_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(int(hps.data_parallel), dp=int(hps.data_parallel), tp=1)
-        epoch_fn = make_epoch_fn(
-            self.spec.module.apply, self.hp, optimizer, self.spec.trainable, bs, mesh
-        )
         eval_fn = self.make_eval_fn(test_keys)
 
         # Optional mid-run resume (new capability; the reference loses all
