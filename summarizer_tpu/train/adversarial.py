@@ -177,8 +177,16 @@ class _AdversarialBase(Engine):
             rng, k_pre = jax.random.split(rng)
             params = self.pretrain(params, feats, targets, mask, cfg, k_pre)
 
-        opts, opt_states = self.make_optimizers(params, cfg)
-        epoch_fn = self.make_epoch_fn(opts, cfg)
+        # Optimizers (masks depend only on tree structure) and the 3-phase
+        # epoch program are fold-invariant: build once per engine, re-init
+        # only the Adam moments per fold.  Saves a full re-trace of the
+        # largest program in the zoo on every fold.
+        cached = getattr(self, "_train_program", None)
+        if cached is None:
+            opts, _ = self.make_optimizers(params, cfg)
+            self._train_program = (opts, self.make_epoch_fn(opts, cfg))
+        opts, epoch_fn = self._train_program
+        opt_states = tuple(o.init(params) for o in opts)
         eval_fn = self.make_eval_fn(test_keys)
 
         import os as _os
@@ -263,21 +271,34 @@ class _AdversarialBase(Engine):
         return best
 
     def _run_pretrain(self, params, feats, mask, cfg, rng, opt, opt_state, loss_fn, tag):
-        """Shared chunked pretrain loop over video groups."""
-        dp = self._dp_shard()
+        """Shared chunked pretrain loop over video groups.  The jitted chunk
+        program is cached per (engine, tag): folds share shapes, and the
+        caller's freshly-built opt/loss_fn are behaviorally identical each
+        fold (masks depend only on tree structure)."""
+        cache = getattr(self, "_pretrain_programs", {})
+        if tag not in cache:
+            dp = self._dp_shard()
 
-        def group_step(carry, inp):
-            p, s = carry
-            sel, key = inp
-            loss, grads = jax.value_and_grad(loss_fn)(p, dp(feats[sel]), dp(mask[sel]), key)
-            upd, s = opt.update(grads, s, p)
-            return (optax.apply_updates(p, upd), s), loss
+            @jax.jit
+            def pre_chunk(p, s, feats_a, mask_a, sel, key,
+                          _opt=opt, _loss_fn=loss_fn):
+                def group_step(carry, inp):
+                    pc, sc = carry
+                    sel_i, key_i = inp
+                    loss, grads = jax.value_and_grad(_loss_fn)(
+                        pc, dp(feats_a[sel_i]), dp(mask_a[sel_i]), key_i
+                    )
+                    upd, sc = _opt.update(grads, sc, pc)
+                    return (optax.apply_updates(pc, upd), sc), loss
 
-        @jax.jit
-        def pre_chunk(p, s, sel, key):
-            xs = (sel, jax.random.split(key, sel.shape[0]))
-            (p, s), losses = jax.lax.scan(group_step, (p, s), xs)
-            return p, s, losses.mean()
+                xs = (sel, jax.random.split(key, sel.shape[0]))
+                (p, s), losses = jax.lax.scan(group_step, (p, s), xs)
+                return p, s, losses.mean()
+
+            cache[tag] = (opt, pre_chunk)
+            self._pretrain_programs = cache
+        opt, pre_chunk = cache[tag]
+        opt_state = opt.init(params)
 
         n = feats.shape[0]
         bs, chunk = self._sizes(n)
@@ -288,7 +309,9 @@ class _AdversarialBase(Engine):
             total, count = 0.0, 0
             for sel in _perm_chunks(groups, chunk):
                 k_ep, k_c = jax.random.split(k_ep)
-                params, opt_state, loss = pre_chunk(params, opt_state, sel, k_c)
+                params, opt_state, loss = pre_chunk(
+                    params, opt_state, feats, mask, sel, k_c
+                )
                 total += float(loss) * sel.shape[0]
                 count += sel.shape[0]
             if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
