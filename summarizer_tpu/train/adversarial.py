@@ -261,6 +261,18 @@ class _AdversarialBase(Engine):
                         TrainState(params=params, opt_state=opt_states,
                                    epoch=epoch + 1, rng=rng),
                     )
+        if getattr(hps, "resume", False) and start_epoch < int(hps.epochs):
+            # Unconditional save at fold end: the wall-gated saves above can
+            # be several epochs stale, which would make a resumed run re-train
+            # the tail of an already-finished fold.
+            from summarizer_tpu.train.resume import TrainState
+
+            self.maybe_save_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_states,
+                           epoch=int(hps.epochs), rng=rng),
+                force=True,
+            )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
             # final epoch): score the current params so the fold result is

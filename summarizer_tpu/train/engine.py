@@ -183,7 +183,8 @@ class Engine:
             self.hps.log_path, f"state_{self.dataset_name}_fold{fold}.ckpt"
         )
 
-    def maybe_save_state(self, path, state, min_interval_s: float = 150.0):
+    def maybe_save_state(self, path, state, min_interval_s: float = 150.0,
+                         force: bool = False):
         """Save train state for crash recovery, wall-gated: GAN states are
         multi-GB (3 Adam chains over ~190M params), so saving at every test
         epoch costs more than the training it protects.  The gate adapts:
@@ -197,7 +198,7 @@ class Engine:
         now = _time.monotonic()
         last = getattr(self, "_last_state_save", 0.0)
         cost = getattr(self, "_last_state_save_cost", 0.0)
-        if now - last < max(min_interval_s, 3.0 * cost):
+        if not force and now - last < max(min_interval_s, 3.0 * cost):
             return
         from summarizer_tpu.train.resume import save_state
 

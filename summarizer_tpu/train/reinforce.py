@@ -235,6 +235,18 @@ class ReinforceEngine(Engine):
                                    epoch=epoch + 1, rng=rng,
                                    extras={"baselines": baselines}),
                     )
+        if getattr(hps, "resume", False) and start_epoch < int(hps.epochs):
+            # Fold-end save so resumed runs skip finished folds (see
+            # adversarial.py — the wall-gated saves can be epochs stale).
+            from summarizer_tpu.train.resume import TrainState
+
+            self.maybe_save_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_state,
+                           epoch=int(hps.epochs), rng=rng,
+                           extras={"baselines": baselines}),
+                force=True,
+            )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
             # final epoch): score the current params so the fold result is

@@ -200,6 +200,17 @@ class SupervisedEngine(Engine):
                         state_path,
                         TrainState(params=params, opt_state=opt_state, epoch=epoch + 1, rng=rng),
                     )
+        if getattr(hps, "resume", False) and start_epoch < int(hps.epochs):
+            # Fold-end save so resumed runs skip finished folds (see
+            # adversarial.py — the wall-gated saves can be epochs stale).
+            from summarizer_tpu.train.resume import TrainState
+
+            self.maybe_save_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_state,
+                           epoch=int(hps.epochs), rng=rng),
+                force=True,
+            )
 
         if timer.times:
             s = timer.summary()
