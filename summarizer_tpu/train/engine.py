@@ -193,22 +193,45 @@ class Engine:
         GAN state can take minutes; crash recovery must not cost more than
         the training it insures)."""
         import logging
+        import threading
         import time as _time
 
         now = _time.monotonic()
         last = getattr(self, "_last_state_save", 0.0)
         cost = getattr(self, "_last_state_save_cost", 0.0)
+        prior = getattr(self, "_save_thread", None)
+        if prior is not None and prior.is_alive():
+            if not force:
+                return  # previous snapshot still being written
+            prior.join()  # forced saves must land (fold-end state)
         if not force and now - last < max(min_interval_s, 3.0 * cost):
             return
         from summarizer_tpu.train.resume import save_state
 
-        save_state(path, state)
-        self._last_state_save_cost = _time.monotonic() - now
-        if self._last_state_save_cost > 10.0:
-            logging.info(
-                f"state save took {self._last_state_save_cost:.0f}s ({path})"
-            )
+        def _do():
+            t0 = _time.monotonic()
+            save_state(path, state)
+            self._last_state_save_cost = _time.monotonic() - t0
+            if self._last_state_save_cost > 10.0:
+                logging.info(
+                    f"state save took {self._last_state_save_cost:.0f}s ({path})"
+                )
+
         self._last_state_save = now
+        if force:
+            # Synchronous: the caller is about to finish the fold (or the
+            # process); the state must be on disk when it returns.
+            _do()
+            self._save_thread = None
+        else:
+            # Asynchronous: the device_get of a multi-GB GAN state over the
+            # tunnel takes minutes; overlap it with the next epochs.  jax
+            # arrays are immutable, so the snapshot is consistent, and the
+            # .tmp + os.replace in save_state keeps a crash from leaving a
+            # torn file.
+            th = threading.Thread(target=_do, daemon=True)
+            th.start()
+            self._save_thread = th
 
     # -------------------------------------------------------------- tb utils
     def scalar(self, fold, phase, tag, value, step):
