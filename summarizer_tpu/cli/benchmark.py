@@ -176,7 +176,10 @@ def main(argv=None):
         for attempt in (1, 2, 3, 4):
             try:
                 p = subprocess.run(
-                    child, capture_output=True, text=True, timeout=3600
+                    # 90 min: a full GAN config (10 folds, 20 epochs, VAE
+                    # pretrain) fits in one attempt; with fold-end resume
+                    # states a timeout only costs the tail of one fold.
+                    child, capture_output=True, text=True, timeout=5400
                 )
                 out, err, rc = p.stdout, p.stderr, p.returncode
             except subprocess.TimeoutExpired as e:
