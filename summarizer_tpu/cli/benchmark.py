@@ -160,45 +160,49 @@ def main(argv=None):
         if args.in_process:
             rows += benchmark_model(name, run_args_for(cfg))
             continue
-        # Each family runs in its own subprocess: a remote-TPU worker crash
-        # poisons the in-process JAX backend beyond recovery, so isolation +
-        # one retry is the only way a fault doesn't lose the whole sweep.
+        # Each (family, splits file) runs in its own subprocess: a remote-TPU
+        # worker crash poisons the in-process JAX backend beyond recovery, so
+        # isolation + retry-as-resume is the only way a fault doesn't lose
+        # the sweep.  One dataset per child on purpose — the observed worker
+        # crashes cluster at the dataset switch (new executables loading
+        # after ~30 min of sustained GAN load), and a fresh process per
+        # dataset both avoids that and caps what one crash can take down.
         import json
         import subprocess
         import sys as _sys
 
-        child = [_sys.executable, "-m", "summarizer_tpu.cli.benchmark",
-                 "--one", name, "-e", str(args.max_epochs),
-                 "-s", args.splits_files]
-        if args.datasets:
-            child += ["--datasets", args.datasets]
-        got = False
-        for attempt in (1, 2, 3, 4):
-            try:
-                p = subprocess.run(
-                    # 90 min: a full GAN config (10 folds, 20 epochs, VAE
-                    # pretrain) fits in one attempt; with fold-end resume
-                    # states a timeout only costs the tail of one fold.
-                    child, capture_output=True, text=True, timeout=5400
+        for sf in args.splits_files.split(","):
+            child = [_sys.executable, "-m", "summarizer_tpu.cli.benchmark",
+                     "--one", name, "-e", str(args.max_epochs), "-s", sf]
+            if args.datasets:
+                child += ["--datasets", args.datasets]
+            got = False
+            for attempt in (1, 2, 3, 4):
+                try:
+                    p = subprocess.run(
+                        # 60 min: a full GAN config on ONE dataset fits in an
+                        # attempt; with fold-end resume states a timeout only
+                        # costs the tail of one fold.
+                        child, capture_output=True, text=True, timeout=3600
+                    )
+                    out, err, rc = p.stdout, p.stderr, p.returncode
+                except subprocess.TimeoutExpired as e:
+                    out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+                    err, rc = "timeout", "timeout"
+                new = [json.loads(l[len("BENCHROW "):])
+                       for l in out.splitlines() if l.startswith("BENCHROW ")]
+                if new:
+                    rows += new
+                    got = True
+                    break
+                logging.error(
+                    f"{name} [{sf}] attempt {attempt} failed (rc={rc}): "
+                    f"{str(err)[-300:]}"
                 )
-                out, err, rc = p.stdout, p.stderr, p.returncode
-            except subprocess.TimeoutExpired as e:
-                out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-                err, rc = "timeout", "timeout"
-            new = [json.loads(l[len("BENCHROW "):])
-                   for l in out.splitlines() if l.startswith("BENCHROW ")]
-            if new:
-                rows += new
-                got = True
-                break
-            logging.error(
-                f"{name} attempt {attempt} failed (rc={rc}): {str(err)[-300:]}"
-            )
-            # The tunneled TPU worker needs time to come back after a crash;
-            # the retry resumes from the child's per-fold checkpoints.
-            time.sleep(180)
-        if not got:
-            for sf in args.splits_files.split(","):
+                # The tunneled TPU worker needs time to come back after a
+                # crash; the retry resumes from per-fold checkpoints.
+                time.sleep(180)
+            if not got:
                 rows.append([name, sf, float("nan"), float("nan"),
                              float("nan"), float("nan"), "FAILED"])
 
