@@ -57,7 +57,11 @@ def test_benchmark_table(tmp_path, synth_h5, monkeypatch):
                                      "extra_params": {"input_size": 64}}),
         ],
     )
-    B.main(["-s", str(sp), "--datasets", str(synth_h5), "-e", "2"])
+    # --in-process: the monkeypatched MODEL_CONFIGS must be visible (the
+    # default subprocess-per-config mode would re-import the real ones and
+    # burn its crash-retry budget against the 64-dim fixture).
+    B.main(["-s", str(sp), "--datasets", str(synth_h5), "-e", "2",
+            "--in-process"])
     tables = list((tmp_path / "logs").glob("*benchmark/table.txt"))
     assert tables, "benchmark table not written"
     text = tables[0].read_text()
