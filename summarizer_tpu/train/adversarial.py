@@ -173,7 +173,15 @@ class _AdversarialBase(Engine):
         rng, k_init = jax.random.split(rng)
         params = self.init_params(k_init)
 
-        if cfg["pretrain_epochs"] > 0:
+        import os as _os
+
+        state_path = self.state_path(fold)
+        resuming = getattr(hps, "resume", False) and _os.path.exists(state_path)
+
+        if cfg["pretrain_epochs"] > 0 and not resuming:
+            # Any resume state already contains pretrained (or further-
+            # trained) params — re-running the multi-minute VAE/AE pretrain
+            # on a crash-retry would only throw its wall-clock away.
             rng, k_pre = jax.random.split(rng)
             params = self.pretrain(params, feats, targets, mask, cfg, k_pre)
 
@@ -189,11 +197,8 @@ class _AdversarialBase(Engine):
         opt_states = tuple(o.init(params) for o in opts)
         eval_fn = self.make_eval_fn(test_keys)
 
-        import os as _os
-
-        state_path = self.state_path(fold)
         start_epoch = 0
-        if getattr(hps, "resume", False) and _os.path.exists(state_path):
+        if resuming:
             from summarizer_tpu.train.resume import TrainState, load_state
 
             st = load_state(
@@ -203,6 +208,18 @@ class _AdversarialBase(Engine):
             params, opt_states = st.params, st.opt_state
             rng, start_epoch = jnp.asarray(st.rng), st.epoch
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+        elif getattr(hps, "resume", False) and cfg["pretrain_epochs"] > 0:
+            # Snapshot the post-pretrain state immediately: under the flaky
+            # tunneled worker, a crash in the first epochs otherwise costs
+            # the whole pretrain again on every retry.
+            from summarizer_tpu.train.resume import TrainState
+
+            self.maybe_save_state(
+                state_path,
+                TrainState(params=params, opt_state=opt_states, epoch=0,
+                           rng=rng),
+                force=True,
+            )
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(train_keys)
