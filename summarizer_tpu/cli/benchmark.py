@@ -177,7 +177,12 @@ def main(argv=None):
             if args.datasets:
                 child += ["--datasets", args.datasets]
             got = False
-            for attempt in (1, 2, 3, 4):
+            # 8 attempts: the tunneled worker dies roughly every 10 min of
+            # sustained GAN load while a GAN (config, dataset) needs ~45 min
+            # of training — with resume-everything each attempt makes net
+            # progress, so the budget must cover train_time/MTBF, not 1-2
+            # flakes.
+            for attempt in range(1, 9):
                 try:
                     p = subprocess.run(
                         # 60 min: a full GAN config on ONE dataset fits in an
@@ -194,6 +199,14 @@ def main(argv=None):
                 if new:
                     rows += new
                     got = True
+                    # Durable row log: the in-memory `rows` die with the
+                    # wrapper (hours of sweep on a flaky worker), so every
+                    # captured row is appended here immediately and
+                    # scripts/merge_benchmark_tables.py can recover them.
+                    os.makedirs("logs", exist_ok=True)
+                    with open("logs/benchmark_rows.jsonl", "a") as f:
+                        for r in new:
+                            f.write(json.dumps(r) + "\n")
                     break
                 logging.error(
                     f"{name} [{sf}] attempt {attempt} failed (rc={rc}): "
