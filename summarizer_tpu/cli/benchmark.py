@@ -182,18 +182,63 @@ def main(argv=None):
             # of training — with resume-everything each attempt makes net
             # progress, so the budget must cover train_time/MTBF, not 1-2
             # flakes.
-            for attempt in range(1, 9):
+            import re as _re
+
+            slug_dir = os.path.join(
+                "logs", "bench_" + _re.sub(r"[^A-Za-z0-9]+", "_", name).lower()
+            )
+
+            def _progress_mtime():
+                newest = 0.0
                 try:
-                    p = subprocess.run(
-                        # 60 min: a full GAN config on ONE dataset fits in an
-                        # attempt; with fold-end resume states a timeout only
-                        # costs the tail of one fold.
-                        child, capture_output=True, text=True, timeout=3600
-                    )
-                    out, err, rc = p.stdout, p.stderr, p.returncode
-                except subprocess.TimeoutExpired as e:
-                    out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-                    err, rc = "timeout", "timeout"
+                    for fn in os.listdir(slug_dir):
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(slug_dir, fn))
+                        )
+                except OSError:
+                    pass
+                return newest
+
+            for attempt in range(1, 9):
+                # Popen + progress watchdog instead of a blocking run(): when
+                # the worker dies mid-RPC the child HANGS at ~0% CPU until
+                # the overall timeout — observed 50 min of dead air.  The
+                # child's log dir (events, metrics.csv, state ckpts) mtimes
+                # advance every test epoch / gated save, so "no file touched
+                # for 8 min after a 5-min grace" means a dead worker, not a
+                # slow fold.
+                import tempfile
+
+                with tempfile.TemporaryFile("w+") as fo, \
+                        tempfile.TemporaryFile("w+") as fe:
+                    # Files, not pipes: a child's stderr logging would fill a
+                    # 64 KB pipe and block it (indistinguishable from a stall).
+                    p = subprocess.Popen(child, stdout=fo, stderr=fe, text=True)
+                    deadline = time.monotonic() + 3600
+                    start_wall = time.time()  # getmtime is wall-clock
+                    rc = None
+                    while True:
+                        try:
+                            rc = p.wait(timeout=30)
+                            break
+                        except subprocess.TimeoutExpired:
+                            pass
+                        stalled = (
+                            time.time()
+                            - max(_progress_mtime(), start_wall + 300) > 480
+                        )
+                        if time.monotonic() > deadline or stalled:
+                            p.kill()
+                            rc = "stalled" if stalled else "timeout"
+                            try:
+                                p.wait(timeout=30)
+                            except subprocess.TimeoutExpired:
+                                pass
+                            break
+                    fo.seek(0)
+                    out = fo.read()
+                    fe.seek(0)
+                    err = str(rc) if rc in ("stalled", "timeout") else fe.read()[-2000:]
                 new = [json.loads(l[len("BENCHROW "):])
                        for l in out.splitlines() if l.startswith("BENCHROW ")]
                 if new:
