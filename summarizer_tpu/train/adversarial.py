@@ -154,6 +154,7 @@ class _AdversarialBase(Engine):
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
+        self.heartbeat()
         cfg = self._cfg()
         train_keys = list(split["train_keys"])
         test_keys = list(split["test_keys"])
@@ -208,6 +209,7 @@ class _AdversarialBase(Engine):
             params, opt_states = st.params, st.opt_state
             rng, start_epoch = jnp.asarray(st.rng), st.epoch
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            self.heartbeat()
         elif getattr(hps, "resume", False) and cfg["pretrain_epochs"] > 0:
             # Snapshot the post-pretrain state immediately: under the flaky
             # tunneled worker, a crash in the first epochs otherwise costs
@@ -341,8 +343,9 @@ class _AdversarialBase(Engine):
                 params, opt_state, loss = pre_chunk(
                     params, opt_state, feats, mask, sel, k_c
                 )
-                total += float(loss) * sel.shape[0]
+                total += float(loss) * sel.shape[0]  # blocks: real progress
                 count += sel.shape[0]
+                self.heartbeat()
             if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
                 self.log.info(
                     f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   "

@@ -233,8 +233,26 @@ class Engine:
             th.start()
             self._save_thread = th
 
+    def heartbeat(self):
+        """Touch ``<log_path>/heartbeat`` from the MAIN thread at real
+        progress points (fold start, resume load, epochs, evals).  The sweep
+        watchdog kills children whose log dir goes quiet; phases that write
+        no metrics (resume-skipping a finished fold loads gigabytes without
+        logging) need this to not read as a dead-worker hang.  A thread
+        would defeat the purpose: a hung device RPC blocks the main thread,
+        and exactly then the touches must stop."""
+        import os
+
+        path = os.path.join(self.hps.log_path, "heartbeat")
+        try:
+            with open(path, "a"):
+                os.utime(path)
+        except OSError:
+            pass
+
     # -------------------------------------------------------------- tb utils
     def scalar(self, fold, phase, tag, value, step):
+        self.heartbeat()
         self.history.setdefault((phase, tag), []).append(float(value))
         self.writer.add_scalar(
             f"{self.dataset_name}/Fold_{fold + 1}/{phase}/{tag}", value, step

@@ -147,6 +147,7 @@ class ReinforceEngine(Engine):
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
+        self.heartbeat()
         train_keys = list(split["train_keys"])
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
@@ -185,6 +186,7 @@ class ReinforceEngine(Engine):
             rng, start_epoch = jnp.asarray(st.rng), st.epoch
             baselines = jnp.asarray(st.extras["baselines"])
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            self.heartbeat()
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
         #: per-epoch mean diversity+representativeness reward of the last

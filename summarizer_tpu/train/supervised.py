@@ -88,6 +88,7 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mes
 class SupervisedEngine(Engine):
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
+        self.heartbeat()
         train_keys = list(split["train_keys"])
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
@@ -139,6 +140,7 @@ class SupervisedEngine(Engine):
             params, opt_state, rng = st.params, st.opt_state, jnp.asarray(st.rng)
             start_epoch = st.epoch
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            self.heartbeat()
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
         n = len(records)
