@@ -23,6 +23,12 @@ echo "=== timed supervised sweep (5 families + variants)"
   > /tmp/benchmark_supervised2.log 2>&1
 cat /tmp/five_family_time.txt
 
+echo "=== VASNet on augmented cross-dataset splits (BASELINE config 3)"
+python -m summarizer_tpu.cli.train -m vasnet \
+  -s splits/tvsum_aug_splits.json,splits/summe_aug_splits.json \
+  -e 20 -t 2 -l info --no-tensorboard --log-dir logs/vasnet_aug 2>&1 |
+  grep -aviE "cpu_aot|SIGILL" | grep -aE "Cross-validation|Fold:" | tail -12
+
 echo "=== VASNet_loc on LOL-318"
 /usr/bin/time -o /tmp/lol318_time.txt python -m summarizer_tpu.cli.train \
   -m vasnet -s splits/LOL_splits.json -e 20 -t 2 -l info --no-tensorboard \
