@@ -35,15 +35,25 @@ MODEL_CONFIGS = [
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
     ("DSN_sup", {"model": "dsn", "epochs": 20, "extra_params": {"sup": 1}}),
+    # bucket=0 (explicit; also the bs<24 default): one cached 3-phase
+    # executable per dataset, no per-bucket-shape variants.  resume_light=1:
+    # the tunnel moves ~20 MB/s, so a 2.3 GB full train state costs ~2 min
+    # per save/upload — longer than the flaky worker often survives, meaning
+    # full-state crash recovery protected nothing.  Params-only states
+    # (~760 MB) land reliably; a resumed fold restarts its Adam moments
+    # (documented benchmark-mode tradeoff).
     ("SumGAN", {"model": "sumgan", "epochs": 20,
                 "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
-                                 "scan_chunk": 1}}),
+                                 "scan_chunk": 1, "bucket": 0,
+                                 "resume_light": 1}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
-                                     "sup": 1, "scan_chunk": 1}}),
+                                     "sup": 1, "scan_chunk": 1, "bucket": 0,
+                                     "resume_light": 1}}),
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_ae": 20, "bf16": 1,
-                                     "scan_chunk": 1}}),
+                                     "scan_chunk": 1, "bucket": 0,
+                                     "resume_light": 1}}),
 ]
 
 

@@ -208,9 +208,11 @@ class Engine:
             return
         from summarizer_tpu.train.resume import save_state
 
+        light = bool(int(self.hp.get("resume_light", 0)))
+
         def _do():
             t0 = _time.monotonic()
-            save_state(path, state)
+            save_state(path, state, light=light)
             self._last_state_save_cost = _time.monotonic() - t0
             if self._last_state_save_cost > 10.0:
                 logging.info(
