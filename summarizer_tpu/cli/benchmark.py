@@ -42,16 +42,22 @@ MODEL_CONFIGS = [
     # full-state crash recovery protected nothing.  Params-only states
     # (~760 MB) land reliably; a resumed fold restarts its Adam moments
     # (documented benchmark-mode tradeoff).
+    # batch_size=10: bf16 sublane tiles are 16 rows, so a group of 20 pads
+    # to 32 — twice the activation memory of a group of 10..16 — and the
+    # tunneled worker's usable HBM proved variable (a 20-group 3-phase step
+    # that fit in the morning OOM'd by noon).  10 divides both canonical
+    # train-fold sizes (tvsum 40, summe 20) exactly, so no videos are
+    # dropped by the group reshape, and pads to the same 16 rows as 16.
     ("SumGAN", {"model": "sumgan", "epochs": 20,
-                "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
+                "extra_params": {"batch_size": 10, "pretrain_vae": 10, "bf16": 1,
                                  "scan_chunk": 1, "bucket": 0,
                                  "resume_light": 1}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
-                    "extra_params": {"batch_size": 20, "pretrain_vae": 10, "bf16": 1,
+                    "extra_params": {"batch_size": 10, "pretrain_vae": 10, "bf16": 1,
                                      "sup": 1, "scan_chunk": 1, "bucket": 0,
                                      "resume_light": 1}}),
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
-                    "extra_params": {"batch_size": 20, "pretrain_ae": 20, "bf16": 1,
+                    "extra_params": {"batch_size": 10, "pretrain_ae": 20, "bf16": 1,
                                      "scan_chunk": 1, "bucket": 0,
                                      "resume_light": 1}}),
 ]
@@ -165,7 +171,9 @@ def main(argv=None):
 
     rows = []
     for name, cfg in MODEL_CONFIGS:
-        if wanted is not None and cfg["model"] not in wanted:
+        # Match either the model key (all variants: "sumgan" = SumGAN +
+        # SumGAN_sup) or the exact display name ("SumGAN_sup" alone).
+        if wanted is not None and cfg["model"] not in wanted and name not in wanted:
             continue
         if args.in_process:
             rows += benchmark_model(name, run_args_for(cfg))
