@@ -68,6 +68,42 @@ def test_benchmark_table(tmp_path, synth_h5, monkeypatch):
     assert "Logistic Regression" in text and "Correlation" in text
 
 
+def test_benchmark_models_filter_matches_display_names(tmp_path, synth_h5,
+                                                       monkeypatch):
+    """--models selects by model key (all variants) OR exact display name,
+    so a partial sweep can target e.g. SumGAN_sup without re-running the
+    already-completed SumGAN rows."""
+    from summarizer_tpu.cli import benchmark as B
+    from summarizer_tpu.data.splits import make_random_splits, write_splits
+
+    with h5py.File(synth_h5) as f:
+        keys = list(f.keys())
+    sp = tmp_path / "synthetic_splits.json"
+    write_splits(make_random_splits(keys, 1, 0.8, seed=0), str(sp))
+
+    monkeypatch.chdir(tmp_path)
+    ran = []
+    monkeypatch.setattr(
+        B,
+        "MODEL_CONFIGS",
+        [
+            ("Random", {"model": "random", "epochs": 1, "extra_params": {}}),
+            ("Random_sup", {"model": "random", "epochs": 1, "extra_params": {}}),
+            ("Logistic Regression", {"model": "logistic", "epochs": 1,
+                                     "extra_params": {}}),
+        ],
+    )
+    monkeypatch.setattr(
+        B, "benchmark_model", lambda name, args: ran.append(name) or []
+    )
+    common = ["-s", str(sp), "--datasets", str(synth_h5), "--in-process"]
+    B.main(common + ["--models", "Random_sup"])
+    assert ran == ["Random_sup"]  # display name: exactly one variant
+    ran.clear()
+    B.main(common + ["--models", "random"])
+    assert ran == ["Random", "Random_sup"]  # model key: all variants
+
+
 def test_validate_metrics_cli(synth_h5, capsys):
     from summarizer_tpu.cli.validate_metrics import main
 
