@@ -140,12 +140,16 @@ def bench_jax_batched(feats, targets, batch=32):
     return vps, mfu
 
 
-def bench_sumgan(int8: bool = False):
-    """SumGAN 3-phase adversarial step, video-group 20, length-bucketed
+def bench_sumgan(int8: bool = False, bs: int = 20):
+    """SumGAN 3-phase adversarial step, video-group ``bs``, length-bucketed
     split-phase path, bf16 streaming (the r2 GAN configuration); ``int8``
     additionally enables the quantized weight-streaming mode (nn/quant.py).  Uses the
     synthetic TVSum-scale dataset in datasets/.  Round-1 reference point:
-    4.21 videos/s (BENCH_NOTES.md)."""
+    4.21 videos/s (BENCH_NOTES.md).
+
+    ``bs`` exists because the tunneled worker's usable HBM is variable: a
+    20-group step that fit one hour OOM'd the next (see cli/benchmark.py's
+    10-group rationale), so main() falls back 20 -> 10 on failure."""
     import jax
 
     from summarizer_tpu.data.batching import pack_train
@@ -161,7 +165,7 @@ def bench_sumgan(int8: bool = False):
             "log_level": "error",
             "tensorboard": False,
             "log_dir": "logs/bench_sumgan",
-            "extra_params": {"pretrain_vae": 0, "batch_size": 20, "bf16": 1,
+            "extra_params": {"pretrain_vae": 0, "batch_size": bs, "bf16": 1,
                              "split_phases": 1, "int8": int(int8)},
         }
     )
@@ -171,7 +175,6 @@ def bench_sumgan(int8: bool = False):
     split = hps.splits_of_file[sf][0]
     keys = list(split["train_keys"])
     n = len(keys)
-    bs = 20
 
     pack = pack_train(engine.dataset.subset(keys), t_max=engine.t_max)
     feats = jax.device_put(pack.features)
@@ -209,7 +212,7 @@ def bench_sumgan(int8: bool = False):
         dt = time.perf_counter() - t0
     trained = (n // bs) * bs
     vps = trained * reps / dt
-    log(f"sumgan 3-phase (group 20, bucketed, {'int8' if int8 else 'bf16'}): "
+    log(f"sumgan 3-phase (group {bs}, bucketed, {'int8' if int8 else 'bf16'}): "
         f"{vps:.2f} videos/s (round-1: 4.21)")
     return vps
 
@@ -371,21 +374,40 @@ def main():
         extras["batch32_mfu_pct"] = round(mfu32 * 100, 1)
     except Exception as e:
         log(f"batch-32 bench failed: {e}")
-    try:
-        gan_vps = bench_sumgan()
-        extras["sumgan_videos_per_sec"] = round(gan_vps, 2)
-        extras["sumgan_vs_round1"] = round(gan_vps / 4.21, 2)
-    except Exception as e:
-        log(f"sumgan bench failed: {e}")
-    try:
-        gan_vps8 = bench_sumgan(int8=True)
-        extras["sumgan_int8_videos_per_sec"] = round(gan_vps8, 2)
-    except Exception as e:
-        log(f"sumgan int8 bench failed: {e}")
+    # Eval latency BEFORE the GAN rows: a GAN-row OOM can crash the worker,
+    # and nothing after a crash is trustworthy until the backend resets.
     try:
         bench_eval_latency()
     except Exception as e:
         log(f"eval-latency bench failed: {e}")
+
+    def _reset_backend():
+        try:
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+            time.sleep(30)
+        except Exception as e2:
+            log(f"backend reset failed: {e2}")
+
+    for row_bs in (20, 10):
+        try:
+            gan_vps = bench_sumgan(bs=row_bs)
+            extras["sumgan_videos_per_sec"] = round(gan_vps, 2)
+            extras["sumgan_group"] = row_bs
+            extras["sumgan_vs_round1"] = round(gan_vps / 4.21, 2)
+            break
+        except Exception as e:
+            log(f"sumgan bench failed at group {row_bs}: {e}")
+            _reset_backend()
+    for row_bs in (20, 10):
+        try:
+            gan_vps8 = bench_sumgan(int8=True, bs=row_bs)
+            extras["sumgan_int8_videos_per_sec"] = round(gan_vps8, 2)
+            break
+        except Exception as e:
+            log(f"sumgan int8 bench failed at group {row_bs}: {e}")
+            _reset_backend()
     base = bench_torch(feats, targets)
     vs = (vps / base) if base else 0.0
     print(
