@@ -65,6 +65,24 @@ def main(argv):
     from summarizer.main import train
     from summarizer.utils.config import HParameters
 
+    if cfg.get("patch_no_dropout"):
+        # Lockstep mode (scripts/parity_lockstep_vasnet.py): replace the
+        # model's nn.Dropout with Identity AFTER construction, so the torch
+        # RNG stream consists of the per-fold weight inits only (dropout's
+        # per-forward mask draws would otherwise make the stream
+        # epoch-count-dependent and unreplayable).  Identity (not p=0):
+        # torch's dropout still advances the RNG at p=0.
+        import summarizer.models.vasnet as rv
+
+        _orig_init_model = rv.VASNetTrainer._init_model
+
+        def _init_model_no_dropout(self):
+            model = _orig_init_model(self)
+            model.dropout = torch.nn.Identity()
+            return model
+
+        rv.VASNetTrainer._init_model = _init_model_no_dropout
+
     hps_init = {
         "model": cfg["model"],
         "splits_files": list(cfg["splits_files"]),
