@@ -135,15 +135,32 @@ def render():
         "",
         "## Lockstep: exact trajectory reproduction",
         "",
-        "`scripts/parity_lockstep.py` replays the reference's torch/python RNG",
-        "consumption order (per-fold nn.Linear inits, the global-random",
-        "per-epoch `shuffle(train_keys)`, the predict-time extra reset) through",
-        "the TPU engine's compiled per-video Adam chain. With RNG equalized,",
-        "the two stacks are numerically interchangeable — **every reported",
-        "metric matches to all five decimals** (row `logistic-lockstep`",
-        "below). The deltas in the plain sweep are therefore pure seed noise",
-        "(different init draws / shuffle orders / sampling streams), not",
-        "implementation differences.",
+        "`scripts/parity_lockstep.py` (logistic) and",
+        "`scripts/parity_lockstep_vasnet.py` (the flagship attention scorer)",
+        "replay the reference's torch/python RNG consumption order — per-fold",
+        "weight inits (for VASNet, the reference's own `VASNet()` constructor",
+        "converted torch→pytree), the global-random per-epoch",
+        "`shuffle(train_keys)`, and the predict-time extra reset — through the",
+        "TPU engine's compiled per-video Adam chain. The VASNet reference side",
+        "runs with its nn.Dropout swapped for Identity (dropout's per-forward",
+        "mask draws are unreplayable) and ours with dropout 0. With RNG",
+        "equalized, the stacks are numerically interchangeable (see the",
+        "`*-lockstep` rows below); the deltas in the plain sweep are",
+        "therefore pure seed noise (different init draws / shuffle orders /",
+        "sampling streams), not implementation differences.",
+        "",
+        "## Assembly-level golden tests",
+        "",
+        "Beyond the trajectory comparisons below, every family's ASSEMBLED",
+        "network is pinned to a torch replica of the reference architecture in",
+        "`tests/test_model_parity.py` (forward outputs and, for VASNet/DSN,",
+        "full MSE-step parameter gradients; the DSN reward against the",
+        "reference's formula incl. padded form) and",
+        "`tests/test_googlenet_torch_parity.py` (the complete GoogLeNet pool5",
+        "tower).  These catch what the sweep's seed noise can hide: wiring",
+        "(shared LayerNorm instances, residual placement, self-feeding decode,",
+        "ignore-self/aperture masks) is exact, so sweep deltas are sampling",
+        "variance, not implementation drift.",
         "",
         "## Side-by-side sweep",
         "",
@@ -170,6 +187,14 @@ def render():
     lines += [
         "",
         "Notes:",
+        "- `vasnet-lockstep` fold-level detail: 7 of 10 per-fold",
+        "  (corr, avgF1, maxF1) triplets match the reference to ALL FIVE",
+        "  decimals (incl. summe end-to-end); the entire tvsum delta is one",
+        "  fold (Fold 2: avgF1 0.74121 ref vs 0.70049 tpu) where float-level",
+        "  trajectory divergence (XLA vs torch-BLAS accumulation order,",
+        "  chained over 20 epochs x 40 videos of attention Adam steps)",
+        "  flipped one discrete knapsack pick at one eval epoch.  corr at the",
+        "  CV level agrees to <=6e-4 on both files.",
         "- `*-overfit` rows are single-fold train==test on the 6 SHORTEST",
         "  videos with 128/256-wide nets (same extra_params on both stacks —",
         "  the full-width reference SumGAN needs >10 h/config on this",
