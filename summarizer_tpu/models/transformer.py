@@ -30,6 +30,10 @@ DEFAULTS = dict(
     weight_init=None,
     dropout=0.1,
     head_dropout=0.5,
+    flash="auto",  # Pallas blockwise self-attention (heads folded into the
+    # batch axis, in-kernel dropout).  "auto" switches it on for long
+    # sequences (T >= 1024, the LOL regime) where the dense path's
+    # (B, H, T, T) probs tensor dominates HBM traffic; 1/0 force it.
 )
 
 
@@ -73,11 +77,19 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     rate = float(hp["dropout"])
     keys = split_or_none(rng, len(params["layers"]) + 1)
 
+    flash = hp.get("flash", "auto")
+    d = x.shape[-1]
+    lane_ok = d % heads == 0 and (d // heads) % 128 == 0
+    use_flash = lane_ok and (
+        x.shape[1] >= 1024 if flash == "auto" else bool(int(flash))
+    )
+
     x = add_pos_embed(params.get("pos"), x)
     h = x
     for i, layer in enumerate(params["layers"]):
         h = encoder_layer_apply(
-            layer, h, heads, mask, rng=keys[i], train=train, rate=rate, eps=eps
+            layer, h, heads, mask, rng=keys[i], train=train, rate=rate, eps=eps,
+            flash=use_flash,
         )
     h = layer_norm(params["norm"], h, eps)
     if hp["more_residuals"]:

@@ -11,6 +11,8 @@ flash-attention path for long sequences lives in ops/flash_attention.py.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,8 +54,16 @@ def mha_apply(
     rng=None,
     train: bool = False,
     attn_dropout: float = 0.0,
+    flash: bool = False,
 ):
-    """(B, Tq, D) x (B, Tk, D) -> (B, Tq, D). ``key_mask``: (B, Tk) validity."""
+    """(B, Tq, D) x (B, Tk, D) -> (B, Tq, D). ``key_mask``: (B, Tk) validity.
+
+    ``flash=True`` routes self-attention through the Pallas blockwise kernel
+    (ops/flash_attention.py) with heads folded into the batch axis — O(T)
+    memory instead of materializing the (B, H, T, T) probs tensor, with
+    in-kernel attention dropout (torch semantics).  Requires square
+    self-attention shapes and a lane-aligned head dim; otherwise the dense
+    einsum path runs."""
     d = query.shape[-1]
     hd = d // n_heads
     w_q, w_k, w_v = jnp.split(p["w_in"], 3, axis=1)
@@ -66,6 +76,33 @@ def mha_apply(
         y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         b_, t_, _ = y.shape
         return y.reshape(b_, t_, n_heads, hd)
+
+    if flash and query.shape == key.shape and hd % 128 == 0:
+        from summarizer_tpu.ops.flash_attention import flash_attention
+
+        bsz, t = query.shape[0], query.shape[1]
+        # fold heads into batch: (B, T, H, hd) -> (B*H, T, hd)
+        qf = heads(query, w_q, b_q).transpose(0, 2, 1, 3).reshape(-1, t, hd)
+        kf = heads(key, w_k, b_k).transpose(0, 2, 1, 3).reshape(-1, t, hd)
+        vf = heads(value, w_v, b_v).transpose(0, 2, 1, 3).reshape(-1, t, hd)
+        lengths = (
+            key_mask.sum(-1).astype(jnp.int32)
+            if key_mask is not None
+            else jnp.full((bsz,), t, jnp.int32)
+        )
+        lengths = jnp.repeat(lengths, n_heads)
+        if train and attn_dropout > 0.0:
+            seeds = jax.random.randint(
+                rng, (bsz * n_heads,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+            )
+            rate = float(attn_dropout)
+        else:
+            seeds, rate = None, 0.0
+        ctx = flash_attention(
+            qf, kf, vf, lengths, seeds, 1.0 / math.sqrt(hd), None, False, rate
+        )
+        ctx = ctx.reshape(bsz, n_heads, t, hd).transpose(0, 2, 1, 3).reshape(bsz, t, d)
+        return linear(p["out"], ctx)
 
     q = heads(query, w_q, b_q) * np.float32(1.0 / np.sqrt(hd))
     k = heads(key, w_k, b_k)
@@ -104,13 +141,15 @@ def encoder_layer_apply(
     train: bool = False,
     rate: float = 0.1,
     eps: float = 1e-5,
+    flash: bool = False,
 ):
     """Post-norm encoder block (torch 1.3 TransformerEncoderLayer order)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k = jax.random.split(rng, 4)
     a = mha_apply(
-        p["attn"], x, x, x, n_heads, mask, rng=k[0], train=train, attn_dropout=rate
+        p["attn"], x, x, x, n_heads, mask, rng=k[0], train=train,
+        attn_dropout=rate, flash=flash,
     )
     x = layer_norm(p["norm1"], x + dropout(k[1], a, rate, train), eps)
     f = linear(p["lin2"], dropout(k[2], jax.nn.relu(linear(p["lin1"], x)), rate, train))

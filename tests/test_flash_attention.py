@@ -152,3 +152,52 @@ def test_flash_dropout_rate_and_determinism():
     k3 = np.asarray(dropout_keep(rows, cols, 8, 0.5))
     assert (keep == k2).all()
     assert (keep != k3).any()
+
+
+def test_mha_flash_matches_dense():
+    """Multi-head flash (heads folded into batch) == dense einsum MHA:
+    forward and full-parameter gradients, masked batch."""
+    from summarizer_tpu.nn.attention import mha_apply, mha_init
+
+    rng = np.random.RandomState(3)
+    b, t, d, heads = 2, 256, 256, 2  # hd = 128 (lane-aligned)
+    x = jnp.asarray(rng.randn(b, t, d), jnp.float32)
+    lengths = jnp.asarray([256, 171], jnp.int32)
+    mask = (jnp.arange(t)[None] < lengths[:, None]).astype(jnp.float32)
+    p = mha_init(jax.random.PRNGKey(0), d)
+
+    yf = mha_apply(p, x, x, x, heads, mask, flash=True)
+    yd = mha_apply(p, x, x, x, heads, mask, flash=False)
+    valid = np.broadcast_to(np.asarray(mask)[..., None] > 0, yf.shape)
+    assert np.abs(np.asarray(yf) - np.asarray(yd))[valid].max() < 1e-4
+
+    def loss(p, flash):
+        y = mha_apply(p, x, x, x, heads, mask, flash=flash)
+        return jnp.sum((y * mask[..., None]) ** 2)
+
+    gf = jax.grad(lambda p: loss(p, True))(p)
+    gd = jax.grad(lambda p: loss(p, False))(p)
+    for kp, a in jax.tree_util.tree_leaves_with_path(gf):
+        bref = {jax.tree_util.keystr(kp2): v
+                for kp2, v in jax.tree_util.tree_leaves_with_path(gd)}[
+                    jax.tree_util.keystr(kp)]
+        scale = max(1.0, float(np.abs(np.asarray(bref)).max()))
+        assert np.abs(np.asarray(a) - np.asarray(bref)).max() / scale < 2e-4, (
+            jax.tree_util.keystr(kp))
+
+
+def test_transformer_flash_matches_dense():
+    """Transformer scorer, flash=1 vs flash=0 (eval mode): scores agree."""
+    from summarizer_tpu.models import transformer
+
+    rng = np.random.RandomState(4)
+    b, t, d = 2, 256, 256
+    hp = {"input_size": d, "encoder_layers": 2, "attention_heads": 2}
+    x = jnp.asarray(rng.randn(b, t, d), jnp.float32)
+    lengths = jnp.asarray([256, 200], jnp.int32)
+    mask = (jnp.arange(t)[None] < lengths[:, None]).astype(jnp.float32)
+    params = transformer.init(jax.random.PRNGKey(1), hp)
+    sf = transformer.apply(params, x, mask, train=False, hp={**hp, "flash": 1})
+    sd = transformer.apply(params, x, mask, train=False, hp={**hp, "flash": 0})
+    valid = np.asarray(mask) > 0
+    assert np.abs(np.asarray(sf) - np.asarray(sd))[valid].max() < 1e-4
