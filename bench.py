@@ -326,7 +326,7 @@ def _wait_for_sweeps(max_wait_s: float | None = None):
         max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "1500"))
     deadline = time.monotonic() + max_wait_s
     pid_files = (glob.glob("/tmp/benchmark*.pid") + glob.glob("/tmp/bench_gan*.pid")
-                 + glob.glob("/tmp/post_sweep.pid"))
+                 + glob.glob("/tmp/post_sweep*.pid"))
     while time.monotonic() < deadline:
         alive = []
         for pf in pid_files:
