@@ -345,9 +345,25 @@ def _wait_for_sweeps(max_wait_s: float | None = None):
     log("sweep still alive at deadline; proceeding anyway")
 
 
+def _ensure_datasets():
+    """The synthetic h5 fixtures are gitignored and do not survive a VM
+    swap; regenerate them (deterministic seeds) if absent so the GAN rows
+    run on any fresh host."""
+    if os.path.exists("datasets/summarizer_dataset_tvsum_google_pool5.h5"):
+        return
+    try:
+        from summarizer_tpu.cli.download import main as download_main
+
+        log("datasets/ missing; regenerating synthetic fixtures")
+        download_main(["--synthetic"])
+    except Exception as e:
+        log(f"fixture regeneration failed: {e}")
+
+
 def main():
     rng = np.random.RandomState(42)
     feats, targets = make_data(rng)
+    _ensure_datasets()
     _wait_for_sweeps()
     vps = mfu = None
     for attempt in range(3):

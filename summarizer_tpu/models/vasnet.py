@@ -108,10 +108,17 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
         else:
             seeds = None
             drate = 0.0
-        ctx = flash_attention(
-            q, kk, v, lengths, seeds, float(scale), aperture,
-            bool(hp["ignore_self"]), drate,
-        )
+        override = hp.get("attention_override")  # sequence-parallel hook
+        if override is not None:
+            ctx = override(
+                q, kk, v, lengths, seeds, float(scale), aperture,
+                bool(hp["ignore_self"]), drate,
+            )
+        else:
+            ctx = flash_attention(
+                q, kk, v, lengths, seeds, float(scale), aperture,
+                bool(hp["ignore_self"]), drate,
+            )
     else:
         logits = jnp.einsum("bqd,bkd->bqk", q, kk) * scale
         if mask is not None:

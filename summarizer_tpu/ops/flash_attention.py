@@ -40,21 +40,26 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _overlap(qb, kb, block_q, block_k, aperture):
-    """Does k block kb intersect q block qb's |i-j| <= aperture band?"""
-    q_lo = qb * block_q
+def _overlap(qb, kb, block_q, block_k, aperture, shift):
+    """Does k block kb intersect q block qb's |i-j| <= aperture band?
+
+    ``shift`` is the static diagonal offset between the q and k index
+    spaces (sequence parallelism places local k row 0 at global position
+    q_offset - shift): local band is rows - cols + shift in [-w, w].
+    """
+    q_lo = qb * block_q + shift
     k_lo = kb * block_k
     return (k_lo <= q_lo + block_q - 1 + aperture) & (
         k_lo + block_k - 1 >= q_lo - aperture
     )
 
 
-def _first_kb(qb, block_q, block_k, aperture):
-    return jnp.maximum(qb * block_q - aperture, 0) // block_k
+def _first_kb(qb, block_q, block_k, aperture, shift):
+    return jnp.maximum(qb * block_q + shift - aperture, 0) // block_k
 
 
-def _first_qb(kb, block_q, block_k, aperture):
-    return jnp.maximum(kb * block_k - aperture, 0) // block_q
+def _first_qb(kb, block_q, block_k, aperture, shift):
+    return jnp.maximum(kb * block_k - shift - aperture, 0) // block_q
 
 
 def _n_band_blocks(block_a, block_b, aperture):
@@ -63,7 +68,11 @@ def _n_band_blocks(block_a, block_b, aperture):
 
 
 def _mask_for(rows, cols, length, aperture, ignore_self):
-    mask = cols < length
+    """Validity mask in GLOBAL coordinates: rows/cols already include any
+    sequence-parallel shard offsets, so ``cols >= 0`` drops the left-edge
+    halo wrap and ``cols < length`` drops both padding and the right-edge
+    halo wrap."""
+    mask = (cols < length) & (cols >= 0)
     if aperture is not None:
         mask &= jnp.abs(rows - cols) <= aperture
     if ignore_self:
@@ -97,8 +106,10 @@ def dropout_keep(rows, cols, seed, rate: float):
 
 # ------------------------------------------------------------------- forward
 def _fwd_kernel(
-    len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    len_ref, seed_ref, qoff_ref, koff_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, scale, block_q, block_k, aperture, ignore_self, nk_total, dropout_rate,
+    diag_shift,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -114,8 +125,10 @@ def _fwd_kernel(
         live = jnp.bool_(True)
         kb = ki
     else:
-        kb = _first_kb(qi, block_q, block_k, aperture) + ki
-        live = (kb < nk_total) & _overlap(qi, kb, block_q, block_k, aperture)
+        kb = _first_kb(qi, block_q, block_k, aperture, diag_shift) + ki
+        live = (kb < nk_total) & _overlap(
+            qi, kb, block_q, block_k, aperture, diag_shift
+        )
 
     @pl.when(live)
     def _compute():
@@ -123,8 +136,12 @@ def _fwd_kernel(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BQ, BK)
-        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        rows = qoff_ref[0, 0, 0] + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        cols = koff_ref[0, 0, 0] + kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
         mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
         s = jnp.where(mask, s, NEG_INF)
 
@@ -156,9 +173,11 @@ def _fwd_kernel(
 
 # ------------------------------------------------------------------ backward
 def _bwd_kv_kernel(
-    len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    len_ref, seed_ref, qoff_ref, koff_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, scale, block_q, block_k, aperture, ignore_self, nq_total, dropout_rate,
+    diag_shift,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -173,8 +192,10 @@ def _bwd_kv_kernel(
         live = jnp.bool_(True)
         qb = qi
     else:
-        qb = _first_qb(ki, block_q, block_k, aperture) + qi
-        live = (qb < nq_total) & _overlap(qb, ki, block_q, block_k, aperture)
+        qb = _first_qb(ki, block_q, block_k, aperture, diag_shift) + qi
+        live = (qb < nq_total) & _overlap(
+            qb, ki, block_q, block_k, aperture, diag_shift
+        )
 
     @pl.when(live)
     def _compute():
@@ -182,8 +203,12 @@ def _bwd_kv_kernel(
         s = jax.lax.dot_general(
             q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        rows = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        rows = qoff_ref[0, 0, 0] + qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        cols = koff_ref[0, 0, 0] + ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
         mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         do = do_ref[0]
@@ -213,8 +238,10 @@ def _bwd_kv_kernel(
 
 
 def _bwd_q_kernel(
-    len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    len_ref, seed_ref, qoff_ref, koff_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
     *, scale, block_q, block_k, aperture, ignore_self, nk_total, dropout_rate,
+    diag_shift,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -228,8 +255,10 @@ def _bwd_q_kernel(
         live = jnp.bool_(True)
         kb = ki
     else:
-        kb = _first_kb(qi, block_q, block_k, aperture) + ki
-        live = (kb < nk_total) & _overlap(qi, kb, block_q, block_k, aperture)
+        kb = _first_kb(qi, block_q, block_k, aperture, diag_shift) + ki
+        live = (kb < nk_total) & _overlap(
+            qi, kb, block_q, block_k, aperture, diag_shift
+        )
 
     @pl.when(live)
     def _compute():
@@ -237,8 +266,12 @@ def _bwd_q_kernel(
         s = jax.lax.dot_general(
             q_ref[0], k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        rows = qoff_ref[0, 0, 0] + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        cols = koff_ref[0, 0, 0] + kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
         mask = _mask_for(rows, cols, len_ref[0, 0, 0], aperture, ignore_self)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
         dp = jax.lax.dot_general(
@@ -268,19 +301,19 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _k_index_map(block_q, block_k, aperture, nk_total):
+def _k_index_map(block_q, block_k, aperture, nk_total, shift):
     """k/v block index map for a banded (qi-relative) k grid axis."""
     if aperture is None:
         return lambda bi, qi, ki: (bi, ki, 0)
 
     def imap(bi, qi, ki):
-        kb = _first_kb(qi, block_q, block_k, aperture) + ki
+        kb = _first_kb(qi, block_q, block_k, aperture, shift) + ki
         return (bi, jnp.minimum(kb, nk_total - 1), 0)
 
     return imap
 
 
-def _q_index_map(block_q, block_k, aperture, nq_total):
+def _q_index_map(block_q, block_k, aperture, nq_total, shift):
     """q-side index maps for the dkv kernel's banded q grid axis."""
     if aperture is None:
         return (
@@ -289,17 +322,17 @@ def _q_index_map(block_q, block_k, aperture, nq_total):
         )
 
     def imap3(bi, ki, qi):
-        qb = _first_qb(ki, block_q, block_k, aperture) + qi
+        qb = _first_qb(ki, block_q, block_k, aperture, shift) + qi
         return (bi, jnp.minimum(qb, nq_total - 1), 0)
 
     def imap2(bi, ki, qi):
-        qb = _first_qb(ki, block_q, block_k, aperture) + qi
+        qb = _first_qb(ki, block_q, block_k, aperture, shift) + qi
         return (bi, jnp.minimum(qb, nq_total - 1), 0)
 
     return imap3, imap2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 13))
 def flash_attention(
     q,
     k,
@@ -312,31 +345,51 @@ def flash_attention(
     dropout_rate: float = 0.0,
     block_q: int = 128,
     block_k: int = 128,
+    q_offset=None,
+    k_offset=None,
+    diag_shift: int = 0,
 ):
     """softmax(mask(q @ k^T * scale)) [-> dropout] @ v, blockwise.
 
-    (B, T, D) x (B,) -> (B, T, D).  ``dropout_rate`` > 0 applies attention
-    dropout with torch semantics inside the kernel; ``dropout_seed`` is a
-    (B,) int32 per-video seed (required when dropout_rate > 0).
+    (B, T_q, D) x (B, T_k, D) x (B,) -> (B, T_q, D).  ``dropout_rate`` > 0
+    applies attention dropout with torch semantics inside the kernel;
+    ``dropout_seed`` is a (B,) int32 per-video seed (required when
+    dropout_rate > 0).
+
+    Sequence parallelism (parallel/sequence_parallel.py) hands each shard a
+    LOCAL q slab and a halo-extended k/v slab: ``q_offset``/``k_offset``
+    (B,) int32 place local row/col 0 at a global position — masking (length,
+    band, self-exclusion) and the stateless dropout hash then run in global
+    coordinates, so sharded outputs match the single-device kernel.
+    ``diag_shift`` must equal ``q_offset - k_offset`` (static, uniform over
+    the batch); the banded grid enumerates k blocks around local diagonal
+    ``col = row + diag_shift``.
     """
     out, _ = _fwd(
-        q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
-        dropout_rate, block_q, block_k,
+        q, k, v, lengths, dropout_seed, q_offset, k_offset, scale, aperture,
+        ignore_self, dropout_rate, block_q, block_k, diag_shift,
     )
     return out
 
 
-def _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
-         dropout_rate, block_q, block_k):
-    b, t, d = q.shape
+def _fwd(q, k, v, lengths, dropout_seed, q_offset, k_offset, scale, aperture,
+         ignore_self, dropout_rate, block_q, block_k, diag_shift):
+    b, t_q, d = q.shape
+    t_k = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if dropout_seed is None:
         dropout_seed = jnp.zeros((b,), jnp.int32)
-    blk = max(block_q, block_k)
-    t_pad = ((t + blk - 1) // blk) * blk
-    qp, kp, vp = (_pad_to(x, t_pad, 1) for x in (q, k, v))
-    nq, nk = t_pad // block_q, t_pad // block_k
+    if q_offset is None:
+        q_offset = jnp.zeros((b,), jnp.int32)
+    if k_offset is None:
+        k_offset = jnp.zeros((b,), jnp.int32)
+    tq_pad = ((t_q + block_q - 1) // block_q) * block_q
+    tk_pad = ((t_k + block_k - 1) // block_k) * block_k
+    qp = _pad_to(q, tq_pad, 1)
+    kp = _pad_to(k, tk_pad, 1)
+    vp = _pad_to(v, tk_pad, 1)
+    nq, nk = tq_pad // block_q, tk_pad // block_k
     nk_grid = nk if aperture is None else min(nk, _n_band_blocks(block_q, block_k, aperture))
 
     kernel = functools.partial(
@@ -348,15 +401,18 @@ def _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
         ignore_self=ignore_self,
         nk_total=nk,
         dropout_rate=float(dropout_rate),
+        diag_shift=int(diag_shift),
     )
-    kmap = _k_index_map(block_q, block_k, aperture, nk)
+    kmap = _k_index_map(block_q, block_k, aperture, nk, diag_shift)
     scalar_spec = pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0))
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, nq, nk_grid),
         in_specs=[
-            # per-video true length / dropout seed, shaped (B, 1, 1) so the
-            # (1, 1, 1) block satisfies TPU tiling.
+            # per-video true length / dropout seed / global row+col offsets,
+            # shaped (B, 1, 1) so the (1, 1, 1) block satisfies TPU tiling.
+            scalar_spec,
+            scalar_spec,
             scalar_spec,
             scalar_spec,
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
@@ -373,8 +429,8 @@ def _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
@@ -383,43 +439,56 @@ def _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
     )(
         lengths.astype(jnp.int32).reshape(-1, 1, 1),
         dropout_seed.astype(jnp.int32).reshape(-1, 1, 1),
+        q_offset.astype(jnp.int32).reshape(-1, 1, 1),
+        k_offset.astype(jnp.int32).reshape(-1, 1, 1),
         qp, kp, vp,
     )
-    return out[:, :t], (q, k, v, lengths, dropout_seed, out[:, :t], lse[:, :t, 0])
+    return out[:, :t_q], (
+        q, k, v, lengths, dropout_seed, q_offset, k_offset,
+        out[:, :t_q], lse[:, :t_q, 0],
+    )
 
 
 def _fwd_rule(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
-              dropout_rate, block_q, block_k):
-    return _fwd(q, k, v, lengths, dropout_seed, scale, aperture, ignore_self,
-                dropout_rate, block_q, block_k)
+              dropout_rate, block_q, block_k, q_offset, k_offset, diag_shift):
+    return _fwd(q, k, v, lengths, dropout_seed, q_offset, k_offset, scale,
+                aperture, ignore_self, dropout_rate, block_q, block_k,
+                diag_shift)
 
 
-def _bwd_rule(scale, aperture, ignore_self, dropout_rate, block_q, block_k, res, g):
-    q, k, v, lengths, dropout_seed, out, lse = res
-    b, t, d = q.shape
+def _bwd_rule(scale, aperture, ignore_self, dropout_rate, block_q, block_k,
+              diag_shift, res, g):
+    q, k, v, lengths, dropout_seed, q_offset, k_offset, out, lse = res
+    b, t_q, d = q.shape
+    t_k = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    delta = jnp.sum(g * out, axis=-1)  # (B, T)
-    blk = max(block_q, block_k)
-    t_pad = ((t + blk - 1) // blk) * blk
-    qp, kp, vp, gp = (_pad_to(x, t_pad, 1) for x in (q, k, v, g))
-    lsep = _pad_to(lse, t_pad, 1)[..., None]  # (B, t_pad, 1)
-    deltap = _pad_to(delta, t_pad, 1)[..., None]
-    nq, nk = t_pad // block_q, t_pad // block_k
+    delta = jnp.sum(g * out, axis=-1)  # (B, T_q)
+    tq_pad = ((t_q + block_q - 1) // block_q) * block_q
+    tk_pad = ((t_k + block_k - 1) // block_k) * block_k
+    qp, gp = _pad_to(q, tq_pad, 1), _pad_to(g, tq_pad, 1)
+    kp, vp = _pad_to(k, tk_pad, 1), _pad_to(v, tk_pad, 1)
+    lsep = _pad_to(lse, tq_pad, 1)[..., None]  # (B, tq_pad, 1)
+    deltap = _pad_to(delta, tq_pad, 1)[..., None]
+    nq, nk = tq_pad // block_q, tk_pad // block_k
     lens = lengths.astype(jnp.int32).reshape(-1, 1, 1)
     seeds = dropout_seed.astype(jnp.int32).reshape(-1, 1, 1)
+    qoffs = q_offset.astype(jnp.int32).reshape(-1, 1, 1)
+    koffs = k_offset.astype(jnp.int32).reshape(-1, 1, 1)
 
     nq_grid = nq if aperture is None else min(nq, _n_band_blocks(block_k, block_q, aperture))
-    qmap3, qmap2 = _q_index_map(block_q, block_k, aperture, nq)
+    qmap3, qmap2 = _q_index_map(block_q, block_k, aperture, nq, diag_shift)
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_kv_kernel,
             scale=float(scale), block_q=block_q, block_k=block_k,
             aperture=aperture, ignore_self=ignore_self, nq_total=nq,
-            dropout_rate=float(dropout_rate),
+            dropout_rate=float(dropout_rate), diag_shift=int(diag_shift),
         ),
         grid=(b, nk, nq_grid),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, ki, qi: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), qmap3),
@@ -438,26 +507,28 @@ def _bwd_rule(scale, aperture, ignore_self, dropout_rate, block_q, block_k, res,
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, tk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, tk_pad, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lens, seeds, qp, kp, vp, gp, lsep, deltap)
+    )(lens, seeds, qoffs, koffs, qp, kp, vp, gp, lsep, deltap)
 
     nk_grid = nk if aperture is None else min(nk, _n_band_blocks(block_q, block_k, aperture))
-    kmap = _k_index_map(block_q, block_k, aperture, nk)
+    kmap = _k_index_map(block_q, block_k, aperture, nk, diag_shift)
     dq = pl.pallas_call(
         functools.partial(
             _bwd_q_kernel,
             scale=float(scale), block_q=block_q, block_k=block_k,
             aperture=aperture, ignore_self=ignore_self, nk_total=nk,
-            dropout_rate=float(dropout_rate),
+            dropout_rate=float(dropout_rate), diag_shift=int(diag_shift),
         ),
         grid=(b, nq, nk_grid),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda bi, qi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
@@ -469,14 +540,14 @@ def _bwd_rule(scale, aperture, ignore_self, dropout_rate, block_q, block_k, res,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi, ki: (bi, qi, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(lens, seeds, qp, kp, vp, gp, lsep, deltap)
+    )(lens, seeds, qoffs, koffs, qp, kp, vp, gp, lsep, deltap)
 
-    return dq[:, :t], dk[:, :t], dv[:, :t], None, None
+    return dq[:, :t_q], dk[:, :t_k], dv[:, :t_k], None, None, None, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
