@@ -60,6 +60,7 @@ def sp_attention(
     mesh: Mesh,
     *,
     axis: str = "sp",
+    batch_axis: str | None = None,
     scale: float | None = None,
     aperture: int | None = None,
     ignore_self: bool = False,
@@ -72,9 +73,11 @@ def sp_attention(
     ``axis`` on T.  Semantics identical to ``flash_attention`` on one device.
 
     Callable both outside jit (global arrays; shard_map partitions them) and
-    inside a jit whose activations are already sharded P(None, axis, None).
-    T must divide the axis size; with an aperture, the per-shard slab must
-    cover the halo (T/n >= aperture).
+    inside a jit whose activations are already sharded P(batch_axis, axis,
+    None).  T must divide the axis size; with an aperture, the per-shard slab
+    must cover the halo (T/n >= aperture).  ``batch_axis`` additionally
+    shards videos over a second mesh axis (dp x sp composition) — halos then
+    ride ICI neighbors within each dp row.
     """
     n = mesh.shape[axis]
     b, t, _ = q.shape
@@ -88,6 +91,8 @@ def sp_attention(
         )
     if dropout_seed is None:
         dropout_seed = jnp.zeros((b,), jnp.int32)
+    if batch_axis is not None:
+        assert b % mesh.shape[batch_axis] == 0, (b, mesh.shape[batch_axis])
 
     fn = partial(
         _sp_local_attention,
@@ -95,11 +100,12 @@ def sp_attention(
         ignore_self=ignore_self, dropout_rate=float(dropout_rate),
         block_q=block_q, block_k=block_k,
     )
-    sharded = P(None, axis, None)
+    sharded = P(batch_axis, axis, None)
+    per_video = P(batch_axis)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(sharded, sharded, sharded, P(), P()),
+        in_specs=(sharded, sharded, sharded, per_video, per_video),
         out_specs=sharded,
         check_vma=False,
     )
@@ -156,20 +162,21 @@ def _sp_local_attention(
 
 
 def sp_vasnet_apply(
-    params, x, mask, *, mesh: Mesh, axis: str = "sp", rng=None, train=False,
+    params, x, mask, *, mesh: Mesh, axis: str = "sp",
+    batch_axis: str | None = None, rng=None, train=False,
     hp: dict | None = None,
 ):
     """VASNet forward with attention sequence-parallel over ``mesh[axis]``.
 
     Drop-in for models.vasnet.apply: everything outside attention (the
     projections, LayerNorms, FFN head) is frame-local, so under a jit with
-    x sharded P(None, axis, None) GSPMD keeps those sharded on T with no
-    communication; only the attention itself exchanges halos / gathers keys
-    via the shard_map above.
+    x sharded P(batch_axis, axis, None) GSPMD keeps those sharded on T with
+    no communication; only the attention itself exchanges halos / gathers
+    keys via the shard_map above.
     """
     from summarizer_tpu.models import vasnet
 
-    override = partial(sp_attention, mesh=mesh, axis=axis)
+    override = partial(sp_attention, mesh=mesh, axis=axis, batch_axis=batch_axis)
 
     def attention_fn(q, k, v, lengths, seeds, scale, aperture, ignore_self,
                      dropout_rate):
@@ -183,22 +190,25 @@ def sp_vasnet_apply(
     return vasnet.apply(params, x, mask, rng=rng, train=train, hp=hp)
 
 
-def make_sp_forward(hp: dict, mesh: Mesh, axis: str = "sp"):
-    """Jitted sequence-sharded VASNet forward: returns (fwd, shard_batch).
+def make_sp_forward(hp: dict, mesh: Mesh, axis: str = "sp",
+                    batch_axis: str | None = None):
+    """Jitted sequence-sharded VASNet forward: returns (fwd, shard_batch,
+    shard_params).
 
     ``fwd(params, x, mask)`` expects x (B, T, D) / mask (B, T) laid out over
     the mesh via ``shard_batch``; params replicate.  T must be a multiple of
     the axis size (serving buckets already are — serve.py pads to 128s).
+    With ``batch_axis``, videos shard over a second mesh axis (dp x sp).
     """
-    x_sh = NamedSharding(mesh, P(None, axis, None))
-    m_sh = NamedSharding(mesh, P(None, axis))
+    x_sh = NamedSharding(mesh, P(batch_axis, axis, None))
+    m_sh = NamedSharding(mesh, P(batch_axis, axis))
     repl = NamedSharding(mesh, P())
 
     @jax.jit
     def fwd(params, x, mask):
         return sp_vasnet_apply(
-            params, x, mask, mesh=mesh, axis=axis, rng=None, train=False,
-            hp=hp,
+            params, x, mask, mesh=mesh, axis=axis, batch_axis=batch_axis,
+            rng=None, train=False, hp=hp,
         )
 
     def shard_batch(x, mask):
@@ -208,3 +218,47 @@ def make_sp_forward(hp: dict, mesh: Mesh, axis: str = "sp"):
         return jax.device_put(params, jax.tree.map(lambda _: repl, params))
 
     return fwd, shard_batch, shard_params
+
+
+def make_sp_train_step(hp: dict, optimizer, mesh: Mesh, axis: str = "sp",
+                       batch_axis: str | None = None):
+    """Jitted supervised train step with activations sequence-sharded.
+
+    Same masked-MSE/Adam semantics as the dense step
+    (train/supervised.py): the per-video loss mean reduces over the sharded
+    T axis (a psum GSPMD emits), grads of the replicated params arrive via
+    the transposed collectives.  Returns (step, shard_batch, shard_params).
+    """
+    import optax
+
+    from summarizer_tpu.train.supervised import masked_mse
+
+    x_sh = NamedSharding(mesh, P(batch_axis, axis, None))
+    m_sh = NamedSharding(mesh, P(batch_axis, axis))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, x, t, m, rng):
+        scores = sp_vasnet_apply(
+            params, x, m, mesh=mesh, axis=axis, batch_axis=batch_axis,
+            rng=rng, train=True, hp=hp,
+        )
+        return masked_mse(scores, t, m)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, t, m, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, t, m, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def shard_batch(x, targets, mask):
+        return (
+            jax.device_put(x, x_sh),
+            jax.device_put(targets, m_sh),
+            jax.device_put(mask, m_sh),
+        )
+
+    def shard_params(params):
+        return jax.device_put(params, jax.tree.map(lambda _: repl, params))
+
+    return step, shard_batch, shard_params

@@ -133,6 +133,62 @@ def test_sp_forward_jitted_sharded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_sp_composes_with_dp():
+    """(dp=2, sp=4) mesh: videos sharded over dp, T over sp — halo exchange
+    stays within each dp row; output equals the single-device kernel."""
+    from jax.sharding import Mesh
+
+    q, k, v, lengths = _qkv(10)
+    ref = flash_attention(q, k, v, lengths, None, None, 16, False, 0.0, **BLK)
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "sp"))
+    got = sp_attention(
+        q, k, v, lengths, mesh, axis="sp", batch_axis="dp", aperture=16, **BLK
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_sp_train_step_matches_dense():
+    """One full supervised train step (masked MSE + Adam) with activations
+    sequence-sharded equals the unsharded step: loss and updated params."""
+    from summarizer_tpu.models import vasnet
+    from summarizer_tpu.parallel.sequence_parallel import make_sp_train_step
+    from summarizer_tpu.train.optim import torch_adam
+    from summarizer_tpu.train.supervised import masked_mse
+
+    import optax
+
+    rng = np.random.RandomState(11)
+    hp = {"input_size": D, "local": 16, "pos_embed": None, "flash": 1}
+    params = vasnet.init(jax.random.PRNGKey(3), hp)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    tgt = jnp.asarray(rng.rand(B, T), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 100:] = 0.0
+    mask = jnp.asarray(mask)
+    key = jax.random.PRNGKey(7)
+    opt = torch_adam(5e-5, 1e-5)
+
+    def ref_loss(p):
+        s = vasnet.apply(p, x, mask, rng=key, train=True, hp=hp)
+        return masked_mse(s, tgt, mask)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    upd, _ = opt.update(ref_g, opt.init(params), params)
+    ref_params = optax.apply_updates(params, upd)
+
+    mesh = make_sp_mesh(8)
+    step, shard_batch, shard_params = make_sp_train_step(hp, opt, mesh)
+    sp_params = shard_params(params)
+    opt_state = opt.init(sp_params)
+    xs, ts, ms = shard_batch(x, tgt, mask)
+    sp_params, _, sp_l = step(sp_params, opt_state, xs, ts, ms, key)
+
+    np.testing.assert_allclose(float(sp_l), float(ref_l), atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(sp_params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)
+
+
 def test_sp_aperture_exceeding_slab_raises():
     q, k, v, lengths = _qkv(4)
     mesh = make_sp_mesh(8)
