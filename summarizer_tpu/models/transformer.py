@@ -83,13 +83,14 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     use_flash = lane_ok and (
         x.shape[1] >= 1024 if flash == "auto" else bool(int(flash))
     )
+    override = hp.get("attention_override")  # sequence-parallel hook
 
     x = add_pos_embed(params.get("pos"), x)
     h = x
     for i, layer in enumerate(params["layers"]):
         h = encoder_layer_apply(
             layer, h, heads, mask, rng=keys[i], train=train, rate=rate, eps=eps,
-            flash=use_flash,
+            flash=use_flash, attention_override=override,
         )
     h = layer_norm(params["norm"], h, eps)
     if hp["more_residuals"]:

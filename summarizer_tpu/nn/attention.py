@@ -55,6 +55,7 @@ def mha_apply(
     train: bool = False,
     attn_dropout: float = 0.0,
     flash: bool = False,
+    attention_override=None,
 ):
     """(B, Tq, D) x (B, Tk, D) -> (B, Tq, D). ``key_mask``: (B, Tk) validity.
 
@@ -63,7 +64,12 @@ def mha_apply(
     memory instead of materializing the (B, H, T, T) probs tensor, with
     in-kernel attention dropout (torch semantics).  Requires square
     self-attention shapes and a lane-aligned head dim; otherwise the dense
-    einsum path runs."""
+    einsum path runs.
+
+    ``attention_override(q, k, v, lengths, seeds, scale, dropout_rate)``
+    replaces the kernel call on the head-folded (B*H, T, hd) tensors — the
+    sequence-parallel hook (parallel/sequence_parallel.py), which shards T
+    over the mesh."""
     d = query.shape[-1]
     hd = d // n_heads
     w_q, w_k, w_v = jnp.split(p["w_in"], 3, axis=1)
@@ -77,7 +83,10 @@ def mha_apply(
         b_, t_, _ = y.shape
         return y.reshape(b_, t_, n_heads, hd)
 
-    if flash and query.shape == key.shape and hd % 128 == 0:
+    blockwise = query.shape == key.shape and (
+        attention_override is not None or (flash and hd % 128 == 0)
+    )
+    if blockwise:
         from summarizer_tpu.ops.flash_attention import flash_attention
 
         bsz, t = query.shape[0], query.shape[1]
@@ -98,9 +107,14 @@ def mha_apply(
             rate = float(attn_dropout)
         else:
             seeds, rate = None, 0.0
-        ctx = flash_attention(
-            qf, kf, vf, lengths, seeds, 1.0 / math.sqrt(hd), None, False, rate
-        )
+        if attention_override is not None:
+            ctx = attention_override(
+                qf, kf, vf, lengths, seeds, 1.0 / math.sqrt(hd), rate
+            )
+        else:
+            ctx = flash_attention(
+                qf, kf, vf, lengths, seeds, 1.0 / math.sqrt(hd), None, False, rate
+            )
         ctx = ctx.reshape(bsz, n_heads, t, hd).transpose(0, 2, 1, 3).reshape(bsz, t, d)
         return linear(p["out"], ctx)
 
@@ -142,6 +156,7 @@ def encoder_layer_apply(
     rate: float = 0.1,
     eps: float = 1e-5,
     flash: bool = False,
+    attention_override=None,
 ):
     """Post-norm encoder block (torch 1.3 TransformerEncoderLayer order)."""
     if rng is None:
@@ -149,7 +164,7 @@ def encoder_layer_apply(
     k = jax.random.split(rng, 4)
     a = mha_apply(
         p["attn"], x, x, x, n_heads, mask, rng=k[0], train=train,
-        attn_dropout=rate, flash=flash,
+        attn_dropout=rate, flash=flash, attention_override=attention_override,
     )
     x = layer_norm(p["norm1"], x + dropout(k[1], a, rate, train), eps)
     f = linear(p["lin2"], dropout(k[2], jax.nn.relu(linear(p["lin1"], x)), rate, train))

@@ -190,6 +190,32 @@ def sp_vasnet_apply(
     return vasnet.apply(params, x, mask, rng=rng, train=train, hp=hp)
 
 
+def sp_transformer_apply(
+    params, x, mask, *, mesh: Mesh, axis: str = "sp",
+    batch_axis: str | None = None, rng=None, train=False,
+    hp: dict | None = None,
+):
+    """Transformer-encoder scorer forward with every layer's self-attention
+    sequence-parallel over ``mesh[axis]``.
+
+    The MHA layer folds heads into the batch axis ((B*H, T, hd),
+    nn/attention.py), so the same sp_attention shards T for all heads at
+    once via one all-gather of k/v per layer; the FFNs/LayerNorms stay
+    frame-local and shard on T under GSPMD.
+    """
+    from summarizer_tpu.models import transformer
+
+    def attention_fn(q, k, v, lengths, seeds, scale, dropout_rate):
+        return sp_attention(
+            q, k, v, lengths, mesh, axis=axis, batch_axis=batch_axis,
+            scale=scale, aperture=None, dropout_rate=dropout_rate,
+            dropout_seed=seeds,
+        )
+
+    hp = {**(hp or {}), "attention_override": attention_fn}
+    return transformer.apply(params, x, mask, rng=rng, train=train, hp=hp)
+
+
 def make_sp_forward(hp: dict, mesh: Mesh, axis: str = "sp",
                     batch_axis: str | None = None):
     """Jitted sequence-sharded VASNet forward: returns (fwd, shard_batch,

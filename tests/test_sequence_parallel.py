@@ -189,6 +189,31 @@ def test_sp_train_step_matches_dense():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)
 
 
+def test_sp_transformer_apply_matches_dense():
+    """Multi-head sp (heads folded into batch, T all-gather-sharded) equals
+    the dense einsum transformer forward."""
+    from summarizer_tpu.models import transformer
+    from summarizer_tpu.parallel.sequence_parallel import sp_transformer_apply
+
+    rng = np.random.RandomState(12)
+    hp = {
+        "input_size": D, "encoder_layers": 2, "attention_heads": 4,
+        "pos_embed": None, "flash": 0,
+    }
+    params = transformer.init(jax.random.PRNGKey(4), hp)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 100:] = 0.0
+    mask = jnp.asarray(mask)
+
+    ref = transformer.apply(params, x, mask, rng=None, train=False, hp=hp)
+    mesh = make_sp_mesh(8)
+    got = sp_transformer_apply(
+        params, x, mask, mesh=mesh, rng=None, train=False, hp=hp
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_sp_aperture_exceeding_slab_raises():
     q, k, v, lengths = _qkv(4)
     mesh = make_sp_mesh(8)
