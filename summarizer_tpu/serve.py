@@ -43,13 +43,25 @@ class Scorer:
     """Warm, bucketed, batched inference for one model."""
 
     def __init__(self, model: str, params, hp: dict | None = None,
-                 proportion: float = 0.15, method: str = "knapsack"):
+                 proportion: float = 0.15, method: str = "knapsack",
+                 sp: int | None = None):
+        self.model = model
         self.spec = get_model(model)
         self.params = params
         self.hp = dict(hp or {})
         self.proportion = proportion
         self.method = method
         self._fns: dict[int, callable] = {}
+        # Sequence-parallel serving (parallel/sequence_parallel.py): shard
+        # the time axis of each bucket over an sp-device mesh — for videos
+        # whose activations outgrow one chip.  Engages per bucket, only when
+        # the bucket divides the mesh and (banded models) the per-shard slab
+        # covers the aperture; other buckets fall back to single-device.
+        self._mesh = None
+        if sp is not None and int(sp) > 1:
+            from summarizer_tpu.parallel.sequence_parallel import make_sp_mesh
+
+            self._mesh = make_sp_mesh(int(sp))
 
     @classmethod
     def from_checkpoint(cls, model: str, path: str, hp: dict | None = None, **kw):
@@ -57,9 +69,30 @@ class Scorer:
         template = spec.module.init(jax.random.PRNGKey(0), dict(hp or {}))
         return cls(model, load_params(path, template), hp, **kw)
 
+    def _sp_apply(self, t_pad: int):
+        """The sequence-parallel apply for this bucket, or None if sp is off
+        / the bucket can't shard (indivisible, or aperture > slab)."""
+        mesh = self._mesh
+        if mesh is None or t_pad % mesh.size != 0:
+            return None
+        if self.model == "vasnet":
+            aperture = self.hp.get("local")
+            if aperture is not None and t_pad // mesh.size < int(aperture):
+                return None
+            from summarizer_tpu.parallel.sequence_parallel import sp_vasnet_apply
+
+            return partial(sp_vasnet_apply, mesh=mesh)
+        if self.model == "transformer":
+            from summarizer_tpu.parallel.sequence_parallel import (
+                sp_transformer_apply,
+            )
+
+            return partial(sp_transformer_apply, mesh=mesh)
+        return None
+
     def _fn(self, t_pad: int):
         if t_pad not in self._fns:
-            apply_fn = self.spec.module.apply
+            apply_fn = self._sp_apply(t_pad) or self.spec.module.apply
             hp = self.hp
 
             @jax.jit
