@@ -38,12 +38,17 @@ DEFAULTS = dict(
     epsilon=1e-6,
     weight_init="xavier",
     dropout=0.5,
-    flash="auto",  # Pallas blockwise attention: "auto" | 1 | 0.  "auto" uses
-    # the kernel for eval AND training: attention dropout runs in-kernel via
-    # a stateless hash mask with torch semantics (ops/flash_attention.py), so
-    # the default dropout-0.5 configuration benefits from the banded grid.
-    # flash=0 forces the dense XLA path (jax.random dropout).
+    flash="auto",  # Pallas blockwise attention: "auto" | 1 | 0.  "auto"
+    # switches the kernel on for long sequences (T >= 1024, the LOL regime):
+    # measured on the v5e, dense XLA attention is ~1.5x FASTER at TVSum
+    # scale (T=320: 7794 vs 5268 videos/s eval, 4455 vs 3722 train — the
+    # banded grid and streaming softmax only pay off once the (T, T) probs
+    # tensor dominates HBM traffic), while flash is 119x at T~3.2k.  Both
+    # training (in-kernel hash dropout, torch semantics) and eval use the
+    # same policy; flash=1/0 force a path.
 )
+
+FLASH_AUTO_MIN_T = 1024  # measured dense/flash crossover (see BENCH_NOTES)
 
 
 def init(rng, hp: dict):
@@ -91,7 +96,10 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     aperture = int(hp["local"]) if hp["local"] is not None else None
     dropout_active = train and rate > 0.0
     flash = hp.get("flash", "auto")
-    want_flash = True if flash == "auto" else bool(int(flash))
+    override = hp.get("attention_override")  # sequence-parallel hook
+    want_flash = (
+        (t >= FLASH_AUTO_MIN_T) if flash == "auto" else bool(int(flash))
+    ) or override is not None
     if want_flash:
         from summarizer_tpu.ops.flash_attention import flash_attention
 
@@ -108,7 +116,6 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
         else:
             seeds = None
             drate = 0.0
-        override = hp.get("attention_override")  # sequence-parallel hook
         if override is not None:
             ctx = override(
                 q, kk, v, lengths, seeds, float(scale), aperture,
