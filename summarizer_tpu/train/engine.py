@@ -47,6 +47,12 @@ class Engine:
         from summarizer_tpu.data.batching import round_up
 
         self.t_max = round_up(max(r.n_steps for r in all_records), 8)
+        sp = int(getattr(hps, "seq_parallel", 0) or 0)
+        if sp > 1:
+            # Sequence-parallel shards need T divisible by the mesh size.
+            import math
+
+            self.t_max = round_up(self.t_max, math.lcm(8, sp))
         self.eval_dims = eval_static_dims(all_records, float(hps.summary_proportion))
         #: every scalar() call is also kept host-side, keyed by (phase, tag),
         #: so tests can assert learning trends (loss falling, reward rising,

@@ -86,6 +86,42 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mes
 
 
 class SupervisedEngine(Engine):
+    def train_apply_fn(self):
+        """The model forward used by the epoch program.  With
+        ``--seq_parallel N`` (vasnet/transformer), training activations
+        shard their time axis over an N-device mesh
+        (parallel/sequence_parallel.py); eval keeps the standard path."""
+        hps = self.hps
+        sp = int(getattr(hps, "seq_parallel", 0) or 0)
+        if sp <= 1:
+            return self.spec.module.apply
+        assert int(getattr(hps, "data_parallel", 0)) <= 1, (
+            "--seq_parallel and --data_parallel cannot combine yet: they "
+            "build separate meshes (use parallel.sequence_parallel's "
+            "batch_axis for a dp x sp mesh programmatically)"
+        )
+        from summarizer_tpu.parallel.sequence_parallel import (
+            make_sp_mesh,
+            sp_transformer_apply,
+            sp_vasnet_apply,
+        )
+
+        sp_apply = {"vasnet": sp_vasnet_apply, "transformer": sp_transformer_apply}
+        model = str(hps.model)
+        if model not in sp_apply:
+            raise ValueError(
+                f"--seq_parallel supports vasnet/transformer, not {model} "
+                f"(recurrent scorers are time-sequential; shard videos with "
+                f"--data_parallel instead)"
+            )
+        mesh = make_sp_mesh(sp)
+        fn = sp_apply[model]
+
+        def apply_fn(params, x, m, *, rng, train, hp):
+            return fn(params, x, m, mesh=mesh, rng=rng, train=train, hp=hp)
+
+        return apply_fn
+
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
         self.heartbeat()
@@ -118,7 +154,7 @@ class SupervisedEngine(Engine):
                     int(hps.data_parallel), dp=int(hps.data_parallel), tp=1
                 )
             epoch_fn = make_epoch_fn(
-                self.spec.module.apply, self.hp, optimizer,
+                self.train_apply_fn(), self.hp, optimizer,
                 self.spec.trainable, bs, mesh,
             )
             self._train_program = (optimizer, epoch_fn)

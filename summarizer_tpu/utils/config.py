@@ -82,6 +82,8 @@ class HParameters:
         self.seed = 12345
         self.batch_size = 1  # videos per optimizer step; 1 == reference dynamics
         self.data_parallel = 0  # 0 = single device; N = shard videos over N devices
+        self.seq_parallel = 0  # N = shard the time axis over N devices
+        # (vasnet/transformer; parallel/sequence_parallel.py)
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"
@@ -99,6 +101,15 @@ class HParameters:
                 setattr(self, key, val)
         if self.model not in REGISTRY:
             raise KeyError(f"{self.model} model is not known")
+        if int(getattr(self, "seq_parallel", 0) or 0) > 1 and self.model not in (
+            "vasnet",
+            "transformer",
+        ):
+            raise ValueError(
+                f"--seq_parallel supports vasnet/transformer, not "
+                f"{self.model}: recurrent scorers are time-sequential — "
+                f"shard videos with --data_parallel instead"
+            )
         self._init()
         return self
 
@@ -184,6 +195,7 @@ class HParameters:
         "selection_algorithm",
         "batch_size",
         "data_parallel",
+        "seq_parallel",
         "seed",
         "log_path",
         "splits_files",

@@ -13,6 +13,11 @@ import os
 # torch-parity tolerances fail.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests get their own compile cache: the repo-level .jax_cache is shared
+# with TPU-attached runs whose host-side (XLA:CPU AOT) artifacts are
+# compiled on the REMOTE worker's CPU — loading those here triggers
+# machine-feature-mismatch warnings and risks SIGILL on older hosts.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu_tests")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

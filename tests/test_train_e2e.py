@@ -217,3 +217,26 @@ def test_resume_retry_past_end_still_evaluates(tmp_path, synth_h5):
     second = train(hps2)
     assert second[0][1] > -1.0 and second[0][3] > 0.0
     assert abs(second[0][1] - first[0][1]) < 0.2
+
+
+def test_vasnet_trains_seq_parallel(tmp_path, synth_h5):
+    """--seq_parallel 8: full engine run with training activations
+    time-sharded over the virtual mesh; finite metrics, t_max divisible."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "vasnet",
+        {"input_size": 64, "local": 8, "pos_embed": None},
+        epochs=2, seq_parallel=8,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
+def test_seq_parallel_rejects_recurrent_models(tmp_path, synth_h5):
+    with pytest.raises(ValueError, match="seq_parallel"):
+        _mk_hps(
+            tmp_path, synth_h5, "dsn", {"input_size": 64},
+            epochs=1, seq_parallel=8,
+        )
