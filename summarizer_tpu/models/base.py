@@ -19,18 +19,19 @@ from summarizer_tpu.nn.core import embedding_init, sinusoid_pos_embed
 def pos_embed_init(rng, hp: dict, input_size: int):
     """Optional positional embeddings, as in summarizer/models/vasnet.py:36-50:
     ``max_pos`` enables them, ``pos_embed`` picks learned ("simple") or the
-    reference's sin/cos table ("attention")."""
+    reference's sin/cos table ("attention").
+
+    The kind is encoded structurally (``emb`` = learned, ``table`` = fixed
+    sin/cos) — a string leaf in the params pytree would abort every jitted
+    program that takes params as an argument."""
     max_len = hp.get("max_pos")
     if not max_len:
         return None
     kind = hp.get("pos_embed", "simple")
     if kind == "simple":
-        return {"kind": "simple", "emb": embedding_init(rng, int(max_len), input_size)}
+        return {"emb": embedding_init(rng, int(max_len), input_size)}
     if kind == "attention":
-        return {
-            "kind": "attention",
-            "table": jnp.asarray(sinusoid_pos_embed(int(max_len), input_size)),
-        }
+        return {"table": jnp.asarray(sinusoid_pos_embed(int(max_len), input_size))}
     return None
 
 
@@ -38,7 +39,7 @@ def add_pos_embed(pe, x):
     t = x.shape[1]
     if pe is None:
         return x
-    if pe["kind"] == "simple":
+    if "emb" in pe:  # learned ("simple")
         return x + pe["emb"]["table"][:t][None]
     return x + pe["table"][:t][None]
 

@@ -52,3 +52,23 @@ def test_padding_invariance(name):
     mp = jnp.concatenate([m, jnp.zeros((1, pad))], axis=1)
     s_pad = np.asarray(spec.module.apply(params, xp, mp, rng=rng, train=False, hp=HP))
     np.testing.assert_allclose(s_pad[0, :t], s_ref[0], atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["vasnet", "transformer"])
+@pytest.mark.parametrize("kind", ["simple", "attention"])
+def test_pos_embed_params_are_jittable(name, kind):
+    """--max_pos params must be valid jit arguments: a string leaf in the
+    pytree (the old {"kind": ...} encoding) aborts every compiled program
+    that takes params as input (epoch scan, eval, sharded steps)."""
+    spec = REGISTRY[name]
+    hp = {**HP, "max_pos": 16, "pos_embed": kind}
+    params = spec.module.init(jax.random.PRNGKey(2), hp)
+
+    @jax.jit
+    def fwd(p, x, m):
+        return spec.module.apply(p, x, m, rng=None, train=False, hp=hp)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 64))
+    m = jnp.ones((2, 16))
+    out = np.asarray(fwd(params, x, m))
+    assert out.shape == (2, 16) and np.all(np.isfinite(out))
