@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, help="Shard videos over N devices")
     p.add_argument("--seq-parallel", type=int,
                    help="Shard the time axis over N devices (vasnet/transformer)")
+    p.add_argument("--pipeline-parallel", type=int,
+                   help="Stage the encoder stack over N devices, GPipe-style (transformer)")
     p.add_argument("--seed", type=int, help="PRNG seed")
     p.add_argument("--log-dir", type=str, help="Override the timestamped log dir")
     p.add_argument("--no-tensorboard", dest="tensorboard", action="store_false", default=None)

@@ -90,9 +90,14 @@ class SupervisedEngine(Engine):
         """The model forward used by the epoch program.  With
         ``--seq_parallel N`` (vasnet/transformer), training activations
         shard their time axis over an N-device mesh
-        (parallel/sequence_parallel.py); eval keeps the standard path."""
+        (parallel/sequence_parallel.py); with ``--pipeline_parallel N``
+        (transformer), the encoder stack is GPipe-staged over N devices
+        (parallel/pipeline_parallel.py).  Eval keeps the standard path."""
         hps = self.hps
         sp = int(getattr(hps, "seq_parallel", 0) or 0)
+        pp = int(getattr(hps, "pipeline_parallel", 0) or 0)
+        if pp > 1:
+            return self._pp_apply_fn(pp)
         if sp <= 1:
             return self.spec.module.apply
         assert int(getattr(hps, "data_parallel", 0)) <= 1, (
@@ -119,6 +124,36 @@ class SupervisedEngine(Engine):
 
         def apply_fn(params, x, m, *, rng, train, hp):
             return fn(params, x, m, mesh=mesh, rng=rng, train=train, hp=hp)
+
+        return apply_fn
+
+    def _pp_apply_fn(self, pp: int):
+        """GPipe-staged transformer forward for --pipeline_parallel N."""
+        import math
+
+        hps = self.hps
+        assert int(getattr(hps, "seq_parallel", 0) or 0) <= 1 and int(
+            getattr(hps, "data_parallel", 0) or 0
+        ) <= 1, (
+            "--pipeline_parallel cannot combine with --seq_parallel/"
+            "--data_parallel from the CLI: they build separate meshes (use "
+            "parallel.pipeline_parallel programmatically for hybrid meshes)"
+        )
+        from summarizer_tpu.parallel.pipeline_parallel import (
+            make_pp_mesh,
+            pp_transformer_apply,
+        )
+
+        mesh = make_pp_mesh(pp)
+        # One microbatch per stage when the video group divides; otherwise the
+        # largest divisor of the group that fits the pipeline.
+        n_micro = math.gcd(max(1, int(hps.batch_size)), pp)
+
+        def apply_fn(params, x, m, *, rng, train, hp):
+            return pp_transformer_apply(
+                params, x, m, mesh=mesh, n_micro=n_micro, rng=rng,
+                train=train, hp=hp,
+            )
 
         return apply_fn
 

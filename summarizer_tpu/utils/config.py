@@ -84,6 +84,8 @@ class HParameters:
         self.data_parallel = 0  # 0 = single device; N = shard videos over N devices
         self.seq_parallel = 0  # N = shard the time axis over N devices
         # (vasnet/transformer; parallel/sequence_parallel.py)
+        self.pipeline_parallel = 0  # N = stage the encoder stack over N
+        # devices, GPipe-style (transformer; parallel/pipeline_parallel.py)
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"
@@ -109,6 +111,14 @@ class HParameters:
                 f"--seq_parallel supports vasnet/transformer, not "
                 f"{self.model}: recurrent scorers are time-sequential — "
                 f"shard videos with --data_parallel instead"
+            )
+        if (
+            int(getattr(self, "pipeline_parallel", 0) or 0) > 1
+            and self.model != "transformer"
+        ):
+            raise ValueError(
+                f"--pipeline_parallel stages a deep encoder stack; only the "
+                f"transformer scorer has one (got {self.model})"
             )
         self._init()
         return self
@@ -196,6 +206,7 @@ class HParameters:
         "batch_size",
         "data_parallel",
         "seq_parallel",
+        "pipeline_parallel",
         "seed",
         "log_path",
         "splits_files",

@@ -240,3 +240,26 @@ def test_seq_parallel_rejects_recurrent_models(tmp_path, synth_h5):
             tmp_path, synth_h5, "dsn", {"input_size": 64},
             epochs=1, seq_parallel=8,
         )
+
+
+def test_transformer_trains_pipeline_parallel(tmp_path, synth_h5):
+    """--pipeline_parallel 8: full engine run with the encoder stack
+    GPipe-staged over the virtual mesh; finite metrics."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "transformer",
+        {"input_size": 64, "encoder_layers": 8, "attention_heads": 4},
+        epochs=2, pipeline_parallel=8, batch_size=4,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
+def test_pipeline_parallel_rejects_non_transformer(tmp_path, synth_h5):
+    with pytest.raises(ValueError, match="pipeline_parallel"):
+        _mk_hps(
+            tmp_path, synth_h5, "vasnet", {"input_size": 64},
+            epochs=1, pipeline_parallel=8,
+        )
