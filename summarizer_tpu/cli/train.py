@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("summarizer_tpu : Model Training")
     p.add_argument("-s", "--splits-files", type=str,
                    help="Comma separated list of split files (shorthands: minimal, overfit, tvsum, summe, LOL, all)")
-    p.add_argument("-m", "--model", type=str, help="Model name (random|logistic|vasnet|transformer|dsn|sumgan|sumgan_att)")
+    p.add_argument("-m", "--model", type=str, help="Model name (random|logistic|vasnet|transformer|transformer_moe|dsn|sumgan|sumgan_att)")
     p.add_argument("-e", "--epochs", type=int, help="Number of epochs")
     p.add_argument("-r", "--lr", type=float, help="Learning rate")
     p.add_argument("-d", "--weight-decay", type=float, help="Weight decay (L2 penalty)")
@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard the time axis over N devices (vasnet/transformer)")
     p.add_argument("--pipeline-parallel", type=int,
                    help="Stage the encoder stack over N devices, GPipe-style (transformer)")
+    p.add_argument("--expert-parallel", type=int,
+                   help="Shard the MoE expert banks over N devices (transformer_moe)")
     p.add_argument("--seed", type=int, help="PRNG seed")
     p.add_argument("--log-dir", type=str, help="Override the timestamped log dir")
     p.add_argument("--no-tensorboard", dest="tensorboard", action="store_false", default=None)

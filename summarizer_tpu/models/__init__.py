@@ -17,6 +17,7 @@ from summarizer_tpu.models import (  # noqa: F401
     sumgan,
     sumgan_att,
     transformer,
+    transformer_moe,
     vasnet,
     vslstm,
 )
@@ -35,6 +36,7 @@ REGISTRY: dict[str, ModelSpec] = {
     "logistic": ModelSpec("logistic", logistic, "supervised"),
     "vasnet": ModelSpec("vasnet", vasnet, "supervised"),
     "transformer": ModelSpec("transformer", transformer, "supervised"),
+    "transformer_moe": ModelSpec("transformer_moe", transformer_moe, "supervised"),
     "vslstm": ModelSpec("vslstm", vslstm, "supervised"),
     "dsn": ModelSpec("dsn", dsn, "reinforce"),
     "sumgan": ModelSpec("sumgan", sumgan, "sumgan"),

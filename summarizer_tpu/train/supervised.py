@@ -50,8 +50,11 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mes
         dp_sharding = NamedSharding(mesh, P("dp"))
 
     def loss_fn(params, x, t, m, rng):
-        scores = apply_fn(params, x, m, rng=rng, train=True, hp=hp)
-        return masked_mse(scores, t, m)
+        out = apply_fn(params, x, m, rng=rng, train=True, hp=hp)
+        if isinstance(out, tuple):  # (scores, extra-loss), e.g. MoE router aux
+            scores, extra = out
+            return masked_mse(scores, t, m) + extra
+        return masked_mse(out, t, m)
 
     def group_step(carry, inp):
         params, opt_state = carry
@@ -96,6 +99,28 @@ class SupervisedEngine(Engine):
         hps = self.hps
         sp = int(getattr(hps, "seq_parallel", 0) or 0)
         pp = int(getattr(hps, "pipeline_parallel", 0) or 0)
+        extra_fn = getattr(self.spec.module, "supervised_loss_extra", None)
+        if extra_fn is not None:
+            # Module contributes an extra train-time loss term (MoE router
+            # load-balance): route it to the epoch program; with
+            # --expert_parallel N the expert banks shard over an ep mesh.
+            ep = int(getattr(hps, "expert_parallel", 0) or 0)
+            if ep > 1:
+                from summarizer_tpu.parallel.expert_parallel import (
+                    ep_expert_override,
+                    make_ep_mesh,
+                )
+
+                override = ep_expert_override(make_ep_mesh(ep))
+
+                def apply_fn(params, x, m, *, rng, train, hp):
+                    return extra_fn(
+                        params, x, m, rng=rng, train=train,
+                        hp={**hp, "moe_override": override},
+                    )
+
+                return apply_fn
+            return extra_fn
         if pp > 1:
             return self._pp_apply_fn(pp)
         if sp <= 1:

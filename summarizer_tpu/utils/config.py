@@ -86,6 +86,8 @@ class HParameters:
         # (vasnet/transformer; parallel/sequence_parallel.py)
         self.pipeline_parallel = 0  # N = stage the encoder stack over N
         # devices, GPipe-style (transformer; parallel/pipeline_parallel.py)
+        self.expert_parallel = 0  # N = shard the MoE expert banks over N
+        # devices (transformer_moe; parallel/expert_parallel.py)
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"
@@ -119,6 +121,14 @@ class HParameters:
             raise ValueError(
                 f"--pipeline_parallel stages a deep encoder stack; only the "
                 f"transformer scorer has one (got {self.model})"
+            )
+        if (
+            int(getattr(self, "expert_parallel", 0) or 0) > 1
+            and self.model != "transformer_moe"
+        ):
+            raise ValueError(
+                f"--expert_parallel shards MoE expert banks; only "
+                f"transformer_moe has them (got {self.model})"
             )
         self._init()
         return self
@@ -207,6 +217,7 @@ class HParameters:
         "data_parallel",
         "seq_parallel",
         "pipeline_parallel",
+        "expert_parallel",
         "seed",
         "log_path",
         "splits_files",

@@ -263,3 +263,27 @@ def test_pipeline_parallel_rejects_non_transformer(tmp_path, synth_h5):
             tmp_path, synth_h5, "vasnet", {"input_size": 64},
             epochs=1, pipeline_parallel=8,
         )
+
+
+def test_transformer_moe_trains_expert_parallel(tmp_path, synth_h5):
+    """--expert_parallel 8: full engine run with the MoE expert banks
+    sharded over the virtual mesh and the router aux in the loss."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "transformer_moe",
+        {"input_size": 64, "encoder_layers": 2, "attention_heads": 4,
+         "n_experts": 8, "top_k": 2},
+        epochs=2, expert_parallel=8,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
+def test_expert_parallel_rejects_dense_models(tmp_path, synth_h5):
+    with pytest.raises(ValueError, match="expert_parallel"):
+        _mk_hps(
+            tmp_path, synth_h5, "transformer", {"input_size": 64},
+            epochs=1, expert_parallel=8,
+        )
