@@ -32,6 +32,9 @@ MODEL_CONFIGS = [
     # Summarizer.pdf §4.2) == 60 steps.
     ("VASNet_loc", {"model": "vasnet", "epochs": 30, "extra_params": {"local": 60}}),
     ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
+    # New family (no reference counterpart): MoE encoder, 4 experts top-2.
+    ("Transformer-MoE", {"model": "transformer_moe", "epochs": 30,
+                         "extra_params": {}}),
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
     ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
     ("DSN_sup", {"model": "dsn", "epochs": 20, "extra_params": {"sup": 1}}),
