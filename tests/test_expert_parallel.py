@@ -160,6 +160,28 @@ def test_ep_train_step_learns():
     assert losses[-1] < losses[0], losses
 
 
+def test_ep_sharded_params_checkpoint_roundtrip(tmp_path):
+    """Expert-sharded params must survive save -> load -> re-shard: the
+    benchmark sweep's crash-recovery path (train/checkpoint.py gathers to
+    host; shard_params relays the restored copy)."""
+    from summarizer_tpu.train.checkpoint import load_params, save_params
+
+    params = transformer_moe.init(jax.random.PRNGKey(10), HP)
+    mesh = make_ep_mesh(8)
+    fwd, shard_params = make_ep_forward(HP, mesh)
+    sharded = shard_params(params)
+    path = str(tmp_path / "moe.ckpt")
+    save_params(path, sharded)
+    template = transformer_moe.init(jax.random.PRNGKey(11), HP)
+    restored = shard_params(load_params(path, template))
+    x, mask = _batch(10)
+    np.testing.assert_allclose(
+        np.asarray(fwd(restored, x, mask)),
+        np.asarray(fwd(sharded, x, mask)),
+        atol=0,
+    )
+
+
 def test_ep_rejects_bad_expert_split():
     params = transformer_moe.init(jax.random.PRNGKey(8), {**HP, "n_experts": 3})
     x, mask = _batch(8)

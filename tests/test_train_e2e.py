@@ -147,6 +147,18 @@ def test_train_cli(tmp_path, synth_h5):
     assert len(results) == 1
 
 
+def test_train_cli_parses_parallel_flags():
+    """The parallelism flags reach HParameters with their dashed spellings."""
+    from summarizer_tpu.cli.train import build_parser
+
+    args, _ = build_parser().parse_known_args(
+        ["--data-parallel", "2", "--seq-parallel", "4",
+         "--pipeline-parallel", "8", "--expert-parallel", "8"]
+    )
+    assert args.data_parallel == 2 and args.seq_parallel == 4
+    assert args.pipeline_parallel == 8 and args.expert_parallel == 8
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
