@@ -34,12 +34,16 @@ def masked_mse(scores, targets, mask):
     return per_video.mean()
 
 
-def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mesh=None):
+def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
+                  mesh=None, batch_spec=None):
     """Build the jitted epoch program: scan over video groups.
 
     With ``mesh``, each group's video axis is shard-constrained over the
     ``dp`` mesh axis: the per-device microbatch computes locally and XLA
-    emits the gradient psum over ICI (params stay replicated)."""
+    emits the gradient psum over ICI (params stay replicated).
+    ``batch_spec`` overrides the constraint — e.g. P("dp", "sp") on a
+    2-D mesh additionally lays the time axis over ``sp`` so the
+    sequence-parallel apply receives activations already sharded."""
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -47,7 +51,7 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int, mes
         assert batch_size % mesh.shape["dp"] == 0, (
             f"batch_size {batch_size} must divide over dp={mesh.shape['dp']}"
         )
-        dp_sharding = NamedSharding(mesh, P("dp"))
+        dp_sharding = NamedSharding(mesh, batch_spec or P("dp"))
 
     def loss_fn(params, x, t, m, rng):
         out = apply_fn(params, x, m, rng=rng, train=True, hp=hp)
@@ -125,11 +129,6 @@ class SupervisedEngine(Engine):
             return self._pp_apply_fn(pp)
         if sp <= 1:
             return self.spec.module.apply
-        assert int(getattr(hps, "data_parallel", 0)) <= 1, (
-            "--seq_parallel and --data_parallel cannot combine yet: they "
-            "build separate meshes (use parallel.sequence_parallel's "
-            "batch_axis for a dp x sp mesh programmatically)"
-        )
         from summarizer_tpu.parallel.sequence_parallel import (
             make_sp_mesh,
             sp_transformer_apply,
@@ -144,11 +143,33 @@ class SupervisedEngine(Engine):
                 f"(recurrent scorers are time-sequential; shard videos with "
                 f"--data_parallel instead)"
             )
-        mesh = make_sp_mesh(sp)
+        dp = int(getattr(hps, "data_parallel", 0) or 0)
+        if dp > 1:
+            # dp x sp composition: videos over "dp", time over "sp" — halos
+            # ride ICI neighbors within each dp row (sp_attention's
+            # batch_axis contract).
+            from jax.sharding import Mesh
+            import numpy as np
+
+            devices = jax.devices()
+            assert dp * sp <= len(devices), (
+                f"dp={dp} x sp={sp} needs {dp * sp} devices, have {len(devices)}"
+            )
+            mesh = Mesh(
+                np.asarray(devices[: dp * sp]).reshape(dp, sp), ("dp", "sp")
+            )
+            batch_axis = "dp"
+            self._parallel_mesh = mesh  # train_fold pre-shards batches on it
+        else:
+            mesh = make_sp_mesh(sp)
+            batch_axis = None
         fn = sp_apply[model]
 
         def apply_fn(params, x, m, *, rng, train, hp):
-            return fn(params, x, m, mesh=mesh, rng=rng, train=train, hp=hp)
+            return fn(
+                params, x, m, mesh=mesh, batch_axis=batch_axis,
+                rng=rng, train=train, hp=hp,
+            )
 
         return apply_fn
 
@@ -206,16 +227,22 @@ class SupervisedEngine(Engine):
         if cached is None:
             optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
             bs = max(1, int(hps.batch_size))
-            mesh = None
-            if int(getattr(hps, "data_parallel", 0)) > 1:
+            apply_fn = self.train_apply_fn()  # may set _parallel_mesh (dp x sp)
+            mesh = getattr(self, "_parallel_mesh", None)
+            batch_spec = None
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                batch_spec = P("dp", "sp")
+            elif int(getattr(hps, "data_parallel", 0)) > 1:
                 from summarizer_tpu.parallel.mesh import make_mesh
 
                 mesh = make_mesh(
                     int(hps.data_parallel), dp=int(hps.data_parallel), tp=1
                 )
             epoch_fn = make_epoch_fn(
-                self.train_apply_fn(), self.hp, optimizer,
-                self.spec.trainable, bs, mesh,
+                apply_fn, self.hp, optimizer,
+                self.spec.trainable, bs, mesh, batch_spec,
             )
             self._train_program = (optimizer, epoch_fn)
         else:

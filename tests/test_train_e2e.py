@@ -246,6 +246,22 @@ def test_vasnet_trains_seq_parallel(tmp_path, synth_h5):
     assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
 
 
+def test_vasnet_trains_dp_x_sp(tmp_path, synth_h5):
+    """--data_parallel 2 --seq_parallel 4: videos shard over the dp axis and
+    each video's time axis over sp, on one (2, 4) mesh; finite metrics and
+    the same learning machinery as the 1-D paths."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "vasnet",
+        {"input_size": 64, "local": 8, "pos_embed": None},
+        epochs=2, seq_parallel=4, data_parallel=2, batch_size=2,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
 def test_seq_parallel_rejects_recurrent_models(tmp_path, synth_h5):
     with pytest.raises(ValueError, match="seq_parallel"):
         _mk_hps(
