@@ -91,10 +91,30 @@ class ReinforceEngine(Engine):
         )
 
     def make_epoch_fn(self, optimizer):
+        """Epoch program: scan over video groups of ``batch_size`` (default
+        1 == the reference's one-optimizer-step-per-video dynamics; larger
+        groups take one step on the group-mean loss, with per-video EMA
+        baselines still updated individually).  With ``--data_parallel N``
+        the group's video axis is shard-constrained over a dp mesh — the
+        vmapped episodes/rewards compute locally, XLA psums the grads."""
         cfg = self._cfg()
         apply_fn = self.spec.module.apply
         hp = self.hp
         E = cfg["num_episodes"]
+        hps = self.hps
+        batch_size = max(1, int(getattr(hps, "batch_size", 1)))
+        dp = int(getattr(hps, "data_parallel", 0) or 0)
+        dp_sharding = None
+        if dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from summarizer_tpu.parallel.mesh import make_mesh
+
+            assert batch_size % dp == 0, (
+                f"batch_size {batch_size} must divide over data_parallel={dp} "
+                f"(reinforce groups shard their video axis)"
+            )
+            dp_sharding = NamedSharding(make_mesh(dp, dp=dp, tp=1), P("dp"))
 
         def loss_fn(params, x, t, m, baseline, rng):
             probs = apply_fn(params, x[None], m[None], rng=rng, train=True, hp=hp)[0]
@@ -118,28 +138,41 @@ class ReinforceEngine(Engine):
             loss = (loss + pg.sum()) / float(E)  # dsn.py:139 episode average
             return loss, rewards.mean()
 
-        def video_step(carry, inp):
+        def group_loss(params, xg, tg, mg, bg, rngs):
+            losses, rewards = jax.vmap(
+                lambda x, t, m, b, r: loss_fn(params, x, t, m, b, r)
+            )(xg, tg, mg, bg, rngs)
+            return losses.mean(), rewards
+
+        def group_step(carry, inp):
             params, opt_state, baselines = carry
-            x, t, m, idx, rng = inp
-            (loss, reward), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, x, t, m, baselines[idx], rng
+            x, t, m, idx, rngs = inp
+            if dp_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, dp_sharding)
+                t = jax.lax.with_sharding_constraint(t, dp_sharding)
+                m = jax.lax.with_sharding_constraint(m, dp_sharding)
+            (loss, rewards), grads = jax.value_and_grad(group_loss, has_aux=True)(
+                params, x, t, m, baselines[idx], rngs
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            baselines = baselines.at[idx].set(0.9 * baselines[idx] + 0.1 * reward)
-            return (params, opt_state, baselines), (loss, reward)
+            baselines = baselines.at[idx].set(0.9 * baselines[idx] + 0.1 * rewards)
+            return (params, opt_state, baselines), (loss, rewards.mean())
 
         @jax.jit
         def epoch(params, opt_state, baselines, feats, targets, mask, perm, rng):
+            n = perm.shape[0]
+            g = n // batch_size
+            sel = perm[: g * batch_size].reshape(g, batch_size)
             xs = (
-                feats[perm],
-                targets[perm],
-                mask[perm],
-                perm,
-                jax.random.split(rng, perm.shape[0]),
+                feats[sel],
+                targets[sel],
+                mask[sel],
+                sel,
+                jax.random.split(rng, g * batch_size).reshape(g, batch_size, -1),
             )
             (params, opt_state, baselines), (losses, rewards) = jax.lax.scan(
-                video_step, (params, opt_state, baselines), xs
+                group_step, (params, opt_state, baselines), xs
             )
             return params, opt_state, baselines, losses.mean(), rewards.mean()
 
@@ -194,8 +227,16 @@ class ReinforceEngine(Engine):
         self.reward_history = []
         n = len(train_keys)
         # Bound single device-execution time on large folds (LOL: 255 train
-        # videos); one dispatch per chunk, same compiled program.
+        # videos); one dispatch per chunk, same compiled program.  Chunks
+        # stay multiples of the video-group size (the epoch program drops
+        # group remainders, as in supervised.py — pick a batch_size that
+        # divides the fold).
+        bs = max(1, int(getattr(hps, "batch_size", 1)))
+        assert n >= bs, (
+            f"batch_size {bs} exceeds the fold's {n} train videos"
+        )
         chunk = max(1, min(int(self.hp.get("scan_chunk", 64)), n))
+        chunk = max(bs, (chunk // bs) * bs)
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
             perm = jax.random.permutation(k_perm, n)

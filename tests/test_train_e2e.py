@@ -293,6 +293,21 @@ def test_pipeline_parallel_rejects_non_transformer(tmp_path, synth_h5):
         )
 
 
+def test_dsn_trains_data_parallel(tmp_path, synth_h5):
+    """--data_parallel 8 --batch-size 8 on the REINFORCE engine: video
+    groups shard over the dp mesh (episodes/rewards compute per device,
+    grads psum); finite metrics, per-video EMA baselines still update."""
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_hps(
+        tmp_path, synth_h5, "dsn", {"input_size": 64, "hidden_size": 8},
+        epochs=2, data_parallel=2, batch_size=2,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
 def test_transformer_moe_trains_expert_parallel(tmp_path, synth_h5):
     """--expert_parallel 8: full engine run with the MoE expert banks
     sharded over the virtual mesh and the router aux in the loss."""
