@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Stage the encoder stack over N devices, GPipe-style (transformer)")
     p.add_argument("--expert-parallel", type=int,
                    help="Shard the MoE expert banks over N devices (transformer_moe)")
+    p.add_argument("--fold-parallel", type=int,
+                   help="1 = train all CV folds simultaneously as one vmapped program (supervised models)")
     p.add_argument("--seed", type=int, help="PRNG seed")
     p.add_argument("--log-dir", type=str, help="Override the timestamped log dir")
     p.add_argument("--no-tensorboard", dest="tensorboard", action="store_false", default=None)

@@ -60,6 +60,42 @@ class Engine:
         self.history: dict[tuple[str, str], list[float]] = {}
 
     # ------------------------------------------------------------------ eval
+    def _device_eval_program(self):
+        """The jitted full-eval program: model forward + upsample + rank
+        correlation + knapsack/rank selection + F1, one XLA program.
+
+        Built once per ENGINE, not per fold: eval dims are dataset-global
+        (see __init__), so every fold shares shapes and re-jitting per fold
+        would only re-trace the same computation.  Pure in (params, rng,
+        feats, mask, batch) — fold-parallel training vmaps it over a stacked
+        fold axis (train/supervised.py:train_folds)."""
+        eval_program = getattr(self, "_eval_program", None)
+        if eval_program is not None:
+            return eval_program
+        prop = float(self.hps.summary_proportion)
+        method = str(self.hps.selection_algorithm)
+        corr_metric = str(getattr(self.hps, "correlation_metric", "spearmanr"))
+        _, _, _, f, cap = self.eval_dims
+        apply_fn = self.spec.module.apply
+        hp = self.hp
+
+        @jax.jit
+        def eval_program(params, rng, feats, mask, batch):
+            scores = apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+            corr, af1, mf1 = evaluate_batch(
+                scores,
+                batch,
+                proportion=prop,
+                method=method,
+                max_capacity=cap,
+                out_frames=f,
+                metric=corr_metric,
+            )
+            return corr.mean(), af1.mean(), mf1.mean()
+
+        self._eval_program = eval_program
+        return eval_program
+
     def make_eval_fn(self, keys: list[str]):
         """Compile the full test pass: model forward + upsample + Spearman +
         knapsack/rank + F1 for every video, one XLA program."""
@@ -86,27 +122,7 @@ class Engine:
         hp = self.hp
 
         if use_device:
-            # One jitted program per ENGINE, not per fold: eval dims are
-            # dataset-global (see __init__), so every fold shares shapes and
-            # re-jitting per fold would only re-trace the same computation.
-            eval_program = getattr(self, "_eval_program", None)
-            if eval_program is None:
-
-                @jax.jit
-                def eval_program(params, rng, feats, mask, batch):
-                    scores = apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
-                    corr, af1, mf1 = evaluate_batch(
-                        scores,
-                        batch,
-                        proportion=prop,
-                        method=method,
-                        max_capacity=cap,
-                        out_frames=f,
-                        metric=corr_metric,
-                    )
-                    return corr.mean(), af1.mean(), mf1.mean()
-
-                self._eval_program = eval_program
+            eval_program = self._device_eval_program()
 
             def run(params, rng):
                 c, a, m = eval_program(params, rng, feats, mask, batch)

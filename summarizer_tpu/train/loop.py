@@ -102,9 +102,25 @@ def train(hps):
         weights_path = hps.weights_path[sf]
         corrs, af1s, mf1s = [], [], []
         corr_max = -1.0
-        for fold, split in enumerate(folds):
+        # --fold_parallel: all folds as one vmapped program (supervised
+        # engines; falls back to the sequential path when it can't stack).
+        fold_results = None
+        if int(getattr(hps, "fold_parallel", 0) or 0) and hasattr(
+            engine, "train_folds"
+        ):
             with engine.compute_policy():
-                res = engine.train_fold(fold, split)
+                fold_results = engine.train_folds(folds)
+            if fold_results is not None:
+                hps.logger.info(
+                    f"File: {sf}   {len(folds)} folds trained fold-parallel "
+                    f"(one vmapped program)"
+                )
+        for fold, split in enumerate(folds):
+            if fold_results is not None:
+                res = fold_results[fold]
+            else:
+                with engine.compute_policy():
+                    res = engine.train_fold(fold, split)
             corrs.append(res.best_corr)
             af1s.append(res.best_avg_f1)
             mf1s.append(res.best_max_f1)

@@ -17,9 +17,10 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
-from summarizer_tpu.data.batching import pack_train
+from summarizer_tpu.data.batching import pack_eval, pack_train
 from summarizer_tpu.train.engine import Engine, FoldResult
 from summarizer_tpu.train.optim import torch_adam
 from summarizer_tpu.utils.profiling import StepTimer, trace
@@ -34,9 +35,11 @@ def masked_mse(scores, targets, mask):
     return per_video.mean()
 
 
-def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
-                  mesh=None, batch_spec=None):
-    """Build the jitted epoch program: scan over video groups.
+def make_epoch_impl(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
+                    mesh=None, batch_spec=None):
+    """Build the (unjitted) epoch program: scan over video groups.
+    ``make_epoch_fn`` jits it; fold-parallel training vmaps it over a
+    stacked fold axis first (train_folds below).
 
     With ``mesh``, each group's video axis is shard-constrained over the
     ``dp`` mesh axis: the per-device microbatch computes locally and XLA
@@ -75,7 +78,6 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
             loss = loss_fn(params, x, t, m, rng)
         return (params, opt_state), loss
 
-    @jax.jit
     def epoch(params, opt_state, feats, targets, mask, perm, rng):
         n = perm.shape[0]
         g = n // batch_size
@@ -90,6 +92,16 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
         return params, opt_state, losses.mean()
 
     return epoch
+
+
+def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
+                  mesh=None, batch_spec=None):
+    """The jitted epoch program (see make_epoch_impl)."""
+    return jax.jit(
+        make_epoch_impl(
+            apply_fn, hp, optimizer, trainable, batch_size, mesh, batch_spec
+        )
+    )
 
 
 class SupervisedEngine(Engine):
@@ -202,6 +214,177 @@ class SupervisedEngine(Engine):
             )
 
         return apply_fn
+
+    def train_folds(self, splits: list[dict]) -> list[FoldResult] | None:
+        """All CV folds trained simultaneously (``--fold_parallel``): the
+        fold axis becomes a vmapped batch dimension of ONE XLA program —
+        stacked params/optimizer states, per-fold permutations indexing a
+        single shared dataset-wide pack, and the fold-invariant eval
+        program vmapped over stacked eval packs.
+
+        The reference parallelized folds by hand across ~10 single-GPU
+        Colab/GCP instances (Summarizer.pdf §4.1); here the same axis rides
+        the MXU batch dimension, which also lifts the arithmetic intensity
+        of batch-1 training: K folds' per-video matmuls fuse into one
+        batched contraction.  Per-fold trajectories match the sequential
+        path's seeds/keys exactly up to float reassociation of the batched
+        matmuls.
+
+        Returns one FoldResult per fold, or None when this run can't stack
+        (unequal fold sizes, mesh parallelism, --resume, host-oracle eval)
+        — the caller falls back to the sequential per-fold path.
+        """
+        hps = self.hps
+        k_folds = len(splits)
+        if k_folds < 2:
+            return None
+        if len({len(s["train_keys"]) for s in splits}) != 1 or len(
+            {len(s["test_keys"]) for s in splits}
+        ) != 1:
+            self.log.info("fold_parallel: unequal fold sizes — sequential path")
+            return None
+        if any(
+            int(getattr(hps, flag, 0) or 0) > 1
+            for flag in ("data_parallel", "seq_parallel",
+                         "pipeline_parallel", "expert_parallel")
+        ):
+            self.log.info("fold_parallel: mesh parallelism set — sequential path")
+            return None
+        if getattr(hps, "resume", False):
+            self.log.info("fold_parallel: --resume unsupported — sequential path")
+            return None
+        corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
+        if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
+            self.log.info("fold_parallel: host-oracle eval — sequential path")
+            return None
+        self.heartbeat()
+
+        # Shared dataset-wide pack; folds index it with global video slots.
+        all_keys = list(self.dataset.videos.keys())
+        slot = {k: i for i, k in enumerate(all_keys)}
+        pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
+        feats = jax.device_put(pack.features)
+        targets = jax.device_put(pack.targets)
+        mask = jax.device_put(pack.mask)
+        fold_idx = jnp.asarray(
+            np.array(
+                [[slot[k] for k in s["train_keys"]] for s in splits], np.int32
+            )
+        )
+        n = fold_idx.shape[1]
+        bs = max(1, int(hps.batch_size))
+        assert n >= bs, f"batch_size {bs} exceeds the folds' {n} train videos"
+
+        for fold, s in enumerate(splits):
+            self.draw_gtscores(fold, list(s["train_keys"]))
+
+        # Same per-fold seeds/keys as the sequential path.
+        rngs = jnp.stack(
+            [jax.random.PRNGKey(int(hps.seed) + f) for f in range(k_folds)]
+        )
+        ks = jax.vmap(lambda r: jax.random.split(r))(rngs)
+        rngs, k_init = ks[:, 0], ks[:, 1]
+        params = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.init_params(k_init[f]) for f in range(k_folds)],
+        )
+
+        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
+        epoch_multi = getattr(self, "_train_program_stacked", None)
+        if epoch_multi is None:
+            epoch_multi = jax.jit(
+                jax.vmap(
+                    make_epoch_impl(
+                        self.train_apply_fn(), self.hp, optimizer,
+                        self.spec.trainable, bs,
+                    ),
+                    in_axes=(0, 0, None, None, None, 0, 0),
+                )
+            )
+            self._train_program_stacked = epoch_multi
+        opt_state = jax.vmap(optimizer.init)(params)
+
+        # Stacked eval packs (dims are dataset-global, so folds share shapes).
+        s_dim = self.eval_dims[0]
+        packs = [
+            pack_eval(
+                self.dataset.subset(list(s["test_keys"])), *self.eval_dims[:4]
+            )
+            for s in splits
+        ]
+        eval_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[p[0] for p in packs],
+        )
+        eval_feats = jnp.stack([jnp.asarray(p[1]) for p in packs])
+        eval_mask = jnp.stack(
+            [
+                jnp.asarray(
+                    (np.arange(s_dim)[None, :] < np.asarray(p[0].n_steps)[:, None])
+                    .astype(np.float32)
+                )
+                for p in packs
+            ]
+        )
+        eval_multi = jax.jit(jax.vmap(self._device_eval_program()))
+
+        best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
+        timer = StepTimer("epoch")
+        for epoch in range(int(hps.epochs)):
+            ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+            rngs, k_perm, k_ep, k_ev = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+            perm_local = jax.vmap(lambda k: jax.random.permutation(k, n))(k_perm)
+            perm = jnp.take_along_axis(fold_idx, perm_local, axis=1)
+            with timer:
+                params, opt_state, loss = epoch_multi(
+                    params, opt_state, feats, targets, mask, perm, k_ep
+                )
+                loss = np.asarray(loss)  # blocks; keeps the timer honest
+            for f in range(k_folds):
+                self.scalar(f, "Train", "Loss", float(loss[f]), epoch)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Loss: "
+                + "  ".join(f"{float(v):.05f}" for v in loss)
+            )
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = map(
+                    np.asarray,
+                    eval_multi(params, k_ev, eval_feats, eval_mask, eval_batch),
+                )
+                for f in range(k_folds):
+                    self.scalar(f, "Test", "Correlation", float(corr[f]), epoch)
+                    self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
+                    self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
+                    b = best[f]
+                    b.best_avg_f1 = max(b.best_avg_f1, float(af1[f]))
+                    b.best_max_f1 = max(b.best_max_f1, float(mf1[f]))
+                    if float(corr[f]) > b.best_corr:
+                        b.best_corr = float(corr[f])
+                        b.best_params = jax.device_get(
+                            jax.tree.map(lambda x: x[f], params)
+                        )
+            self.heartbeat()
+
+        if any(b.best_params is None for b in best):
+            # No eval fired (test_every > epochs): score the final params.
+            k_fin = jax.vmap(lambda r: jax.random.split(r))(rngs)[:, 1]
+            corr, af1, mf1 = map(
+                np.asarray,
+                eval_multi(params, k_fin, eval_feats, eval_mask, eval_batch),
+            )
+            for f in range(k_folds):
+                if best[f].best_params is None:
+                    best[f] = FoldResult(
+                        float(corr[f]), float(af1[f]), float(mf1[f]),
+                        jax.device_get(jax.tree.map(lambda x: x[f], params)),
+                    )
+        if timer.times:
+            st = timer.summary()
+            self.log.debug(
+                f"stacked epoch timing ({k_folds} folds/step): "
+                f"mean {st['mean_s'] * 1e3:.1f} ms  p50 {st['p50_s'] * 1e3:.1f} ms"
+            )
+        return best
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps

@@ -88,6 +88,8 @@ class HParameters:
         # devices, GPipe-style (transformer; parallel/pipeline_parallel.py)
         self.expert_parallel = 0  # N = shard the MoE expert banks over N
         # devices (transformer_moe; parallel/expert_parallel.py)
+        self.fold_parallel = 0  # 1 = train all CV folds simultaneously as
+        # one vmapped program (supervised engines; train/supervised.py)
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"
@@ -218,6 +220,7 @@ class HParameters:
         "seq_parallel",
         "pipeline_parallel",
         "expert_parallel",
+        "fold_parallel",
         "seed",
         "log_path",
         "splits_files",

@@ -293,6 +293,87 @@ def test_pipeline_parallel_rejects_non_transformer(tmp_path, synth_h5):
         )
 
 
+def _mk_kfold_hps(tmp_path, synth_h5, model, extra, k=3, n_test=2, **over):
+    """Equal-size k-fold splits over the 6-video fixture."""
+    with h5py.File(synth_h5) as f:
+        keys = sorted(f.keys())
+    folds = []
+    for i in range(k):
+        test = [keys[(2 * i) % len(keys)], keys[(2 * i + 1) % len(keys)]][:n_test]
+        folds.append(
+            {"train_keys": [x for x in keys if x not in test], "test_keys": test}
+        )
+    sp = str(tmp_path / "synthetic_splits_kfold.json")
+    write_splits(folds, sp)
+    args = dict(
+        model=model, datasets=str(synth_h5), splits_files=sp,
+        epochs=6, test_every_epochs=2, log_dir=str(tmp_path / f"logs_{model}_k"),
+        tensorboard=False, log_level="warning", extra_params=extra,
+    )
+    args.update(over)
+    return HParameters().load_from_args(args), sp
+
+
+def test_fold_parallel_matches_sequential(tmp_path, synth_h5):
+    """--fold_parallel trains all folds in one vmapped program with the
+    sequential path's per-fold seeds; CV metrics must agree up to float
+    reassociation of the batched matmuls."""
+    from summarizer_tpu.train.loop import train
+
+    hps_seq, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        log_dir=str(tmp_path / "seq_logs"),
+    )
+    seq = train(hps_seq)
+    hps_par, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        fold_parallel=1, log_dir=str(tmp_path / "par_logs"),
+    )
+    par = train(hps_par)
+    assert abs(par[0][1] - seq[0][1]) < 0.02, (par, seq)  # CV corr
+    assert abs(par[0][2] - seq[0][2]) < 0.02, (par, seq)  # CV avg F1
+    assert abs(par[0][3] - seq[0][3]) < 0.02, (par, seq)  # CV max F1
+
+
+def test_fold_parallel_vasnet_runs(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    hps, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64, "local": 16},
+        fold_parallel=1,
+    )
+    results = train(hps)
+    _, corr, avg_f1, max_f1 = results[0]
+    assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
+
+
+def test_fold_parallel_falls_back_on_unequal_folds(tmp_path, synth_h5):
+    """Unequal fold sizes can't stack; train() must silently use the
+    sequential path and still return real results."""
+    from summarizer_tpu.train.loop import train
+
+    with h5py.File(synth_h5) as f:
+        keys = sorted(f.keys())
+    sp = str(tmp_path / "synthetic_splits_uneven.json")
+    write_splits(
+        [
+            {"train_keys": keys[:4], "test_keys": keys[4:]},
+            {"train_keys": keys[:3], "test_keys": keys[3:]},
+        ],
+        sp,
+    )
+    hps = HParameters().load_from_args(
+        dict(
+            model="logistic", datasets=str(synth_h5), splits_files=sp,
+            epochs=2, test_every_epochs=2, fold_parallel=1,
+            log_dir=str(tmp_path / "logs_uneven"), tensorboard=False,
+            log_level="warning", extra_params={"input_size": 64},
+        )
+    )
+    results = train(hps)
+    assert np.isfinite(results[0][1])
+
+
 def test_dsn_trains_data_parallel(tmp_path, synth_h5):
     """--data_parallel 8 --batch-size 8 on the REINFORCE engine: video
     groups shard over the dp mesh (episodes/rewards compute per device,
