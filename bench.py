@@ -140,6 +140,55 @@ def bench_jax_batched(feats, targets, batch=32):
     return vps, mfu
 
 
+def bench_jax_folds(feats, targets, k=5):
+    """5-fold fold-parallel training (--fold_parallel): K stacked replicas
+    of the batch-1 epoch run as one vmapped program — the CV axis as a
+    batch dimension (train/supervised.py:train_folds).  Reports aggregate
+    videos/s across folds: the honest wall-clock for a full CV run."""
+    import jax
+    import jax.numpy as jnp
+
+    from summarizer_tpu.models import vasnet
+    from summarizer_tpu.train.optim import torch_adam
+    from summarizer_tpu.train.supervised import make_epoch_impl
+
+    hp = {"input_size": D}
+    params = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[vasnet.init(jax.random.PRNGKey(f), hp) for f in range(k)],
+    )
+    opt = torch_adam(5e-5, 1e-5)
+    opt_state = jax.vmap(opt.init)(params)
+    epoch_multi = jax.jit(
+        jax.vmap(
+            make_epoch_impl(vasnet.apply, hp, opt, True, 1),
+            in_axes=(0, 0, None, None, None, 0, 0),
+        )
+    )
+
+    fx = jax.device_put(jnp.asarray(feats))
+    tx = jax.device_put(jnp.asarray(targets))
+    mx = jnp.ones((N_VIDEOS, T_STEPS), jnp.float32)
+    perms = jnp.stack([jax.random.permutation(jax.random.PRNGKey(f), N_VIDEOS)
+                       for f in range(k)])
+    rngs = jnp.stack([jax.random.PRNGKey(100 + f) for f in range(k)])
+
+    params, opt_state, loss = epoch_multi(params, opt_state, fx, tx, mx, perms, rngs)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(EPOCHS_TIMED):
+        params, opt_state, loss = epoch_multi(
+            params, opt_state, fx, tx, mx, perms, rngs
+        )
+    jax.block_until_ready(loss)  # single end-of-chain sync (see bench_jax)
+    dt = time.perf_counter() - t0
+    vps = k * N_VIDEOS * EPOCHS_TIMED / dt
+    mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
+    log(f"jax fold-parallel k={k}: {vps:.1f} videos/s aggregate "
+        f"(MFU {mfu * 100:.1f}%, batch-1 dynamics per fold)")
+    return vps, mfu
+
+
 def bench_sumgan(int8: bool = False, bs: int = 20):
     """SumGAN 3-phase adversarial step, video-group ``bs``, length-bucketed
     split-phase path, bf16 streaming (the r2 GAN configuration); ``int8``
@@ -390,6 +439,13 @@ def main():
         extras["batch32_mfu_pct"] = round(mfu32 * 100, 1)
     except Exception as e:
         log(f"batch-32 bench failed: {e}")
+    try:
+        vpsk, mfuk = bench_jax_folds(feats, targets, k=5)
+        extras["fold5_videos_per_sec"] = round(vpsk, 1)
+        extras["fold5_mfu_pct"] = round(mfuk * 100, 1)
+        extras["fold5_vs_sequential"] = round(vpsk / vps, 2)
+    except Exception as e:
+        log(f"fold-parallel bench failed: {e}")
     # Eval latency BEFORE the GAN rows: a GAN-row OOM can crash the worker,
     # and nothing after a crash is trustworthy until the backend resets.
     try:
