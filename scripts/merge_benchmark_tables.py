@@ -61,7 +61,8 @@ def main():
 
     import json
 
-    rows = parse_log("/tmp/benchmark_full.log")
+    legacy = "/tmp/benchmark_full.log"
+    rows = parse_log(legacy) if os.path.exists(legacy) else []
     seen = {(r[0], r[1]) for r in rows}
 
     def add(r):
