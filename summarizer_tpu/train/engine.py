@@ -157,6 +157,134 @@ class Engine:
 
         return run
 
+    # -------------------------------------------------- fold-parallel scaffold
+    # Shared machinery for ``--fold_parallel``: engines that can train all CV
+    # folds as ONE vmapped XLA program (supervised, reinforce) build it from
+    # these pieces.  The reference parallelized folds by hand across ~10
+    # single-GPU Colab/GCP instances (Summarizer.pdf §4.1); here the fold
+    # axis rides the MXU batch dimension.
+    def _fold_parallel_ready(self, splits) -> bool:
+        """Common guards: folds must stack (equal sizes), no mesh parallelism
+        (the stacked program owns the devices), no --resume (stacked states
+        aren't checkpointed per fold), device eval (the stacked eval is the
+        vmapped device program)."""
+        hps = self.hps
+        if len(splits) < 2:
+            return False
+        if len({len(s["train_keys"]) for s in splits}) != 1 or len(
+            {len(s["test_keys"]) for s in splits}
+        ) != 1:
+            self.log.info("fold_parallel: unequal fold sizes — sequential path")
+            return False
+        if any(
+            int(getattr(hps, flag, 0) or 0) > 1
+            for flag in ("data_parallel", "seq_parallel",
+                         "pipeline_parallel", "expert_parallel")
+        ):
+            self.log.info("fold_parallel: mesh parallelism set — sequential path")
+            return False
+        if getattr(hps, "resume", False):
+            self.log.info("fold_parallel: --resume unsupported — sequential path")
+            return False
+        corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
+        if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
+            self.log.info("fold_parallel: host-oracle eval — sequential path")
+            return False
+        return True
+
+    def _stacked_fold_data(self, splits):
+        """One dataset-wide train pack shared by every fold, plus the
+        (k_folds, n_train) matrix of global video slots each fold trains on —
+        per-fold permutations index this shared pack instead of carrying k
+        copies of the features."""
+        all_keys = list(self.dataset.videos.keys())
+        slot = {k: i for i, k in enumerate(all_keys)}
+        from summarizer_tpu.data.batching import pack_train
+
+        pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
+        feats = jax.device_put(pack.features)
+        targets = jax.device_put(pack.targets)
+        mask = jax.device_put(pack.mask)
+        fold_idx = jnp.asarray(
+            np.array(
+                [[slot[k] for k in s["train_keys"]] for s in splits], np.int32
+            )
+        )
+        return feats, targets, mask, fold_idx, len(all_keys)
+
+    def _stacked_init(self, k_folds: int):
+        """Per-fold RNG streams and stacked params with the SAME seeds/keys
+        as the sequential path (PRNGKey(seed + fold) -> split -> init)."""
+        rngs = jnp.stack(
+            [jax.random.PRNGKey(int(self.hps.seed) + f) for f in range(k_folds)]
+        )
+        ks = jax.vmap(lambda r: jax.random.split(r))(rngs)
+        rngs, k_init = ks[:, 0], ks[:, 1]
+        params = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.init_params(k_init[f]) for f in range(k_folds)],
+        )
+        return rngs, params
+
+    def _stacked_eval_setup(self, splits):
+        """Stacked per-fold eval packs + the vmapped device eval program.
+        Eval dims are dataset-global (see __init__), so folds share shapes."""
+        s_dim = self.eval_dims[0]
+        packs = [
+            pack_eval(
+                self.dataset.subset(list(s["test_keys"])), *self.eval_dims[:4]
+            )
+            for s in splits
+        ]
+        eval_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[p[0] for p in packs],
+        )
+        eval_feats = jnp.stack([jnp.asarray(p[1]) for p in packs])
+        eval_mask = jnp.stack(
+            [
+                jnp.asarray(
+                    (np.arange(s_dim)[None, :] < np.asarray(p[0].n_steps)[:, None])
+                    .astype(np.float32)
+                )
+                for p in packs
+            ]
+        )
+        eval_multi = jax.jit(jax.vmap(self._device_eval_program()))
+        return eval_multi, eval_feats, eval_mask, eval_batch
+
+    def _stacked_best_update(self, best, params, corr, af1, mf1):
+        """Fold the stacked eval metrics into the per-fold FoldResults,
+        snapshotting fold f's params slice when its correlation improves."""
+        for f in range(len(best)):
+            b = best[f]
+            b.best_avg_f1 = max(b.best_avg_f1, float(af1[f]))
+            b.best_max_f1 = max(b.best_max_f1, float(mf1[f]))
+            if float(corr[f]) > b.best_corr:
+                b.best_corr = float(corr[f])
+                b.best_params = jax.device_get(
+                    jax.tree.map(lambda x: x[f], params)
+                )
+
+    def _stacked_finalize(self, best, params, rngs, eval_multi, eval_feats,
+                          eval_mask, eval_batch):
+        """Score the final params for folds where no eval fired
+        (test_every > epochs), so every FoldResult is real."""
+        if not any(b.best_params is None for b in best):
+            return best
+        k_fin = jax.vmap(lambda r: jax.random.split(r))(rngs)[:, 1]
+        corr, af1, mf1 = map(
+            np.asarray,
+            eval_multi(params, k_fin, eval_feats, eval_mask, eval_batch),
+        )
+        for f in range(len(best)):
+            if best[f].best_params is None:
+                best[f] = FoldResult(
+                    float(corr[f]), float(af1[f]), float(mf1[f]),
+                    jax.device_get(jax.tree.map(lambda x: x[f], params)),
+                )
+        return best
+
     # ----------------------------------------------------------------- hooks
     def compute_policy(self):
         """Recurrent-matmul streaming policy context.

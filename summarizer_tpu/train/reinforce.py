@@ -90,13 +90,15 @@ class ReinforceEngine(Engine):
             sup=bool(int(hp.get("sup", 0))),
         )
 
-    def make_epoch_fn(self, optimizer):
-        """Epoch program: scan over video groups of ``batch_size`` (default
-        1 == the reference's one-optimizer-step-per-video dynamics; larger
-        groups take one step on the group-mean loss, with per-video EMA
-        baselines still updated individually).  With ``--data_parallel N``
-        the group's video axis is shard-constrained over a dp mesh — the
-        vmapped episodes/rewards compute locally, XLA psums the grads."""
+    def make_epoch_impl(self, optimizer):
+        """The (unjitted) epoch program: scan over video groups of
+        ``batch_size`` (default 1 == the reference's one-optimizer-step-per-
+        video dynamics; larger groups take one step on the group-mean loss,
+        with per-video EMA baselines still updated individually).  With
+        ``--data_parallel N`` the group's video axis is shard-constrained
+        over a dp mesh — the vmapped episodes/rewards compute locally, XLA
+        psums the grads.  ``make_epoch_fn`` jits it; fold-parallel training
+        vmaps it over a stacked fold axis first (train_folds below)."""
         cfg = self._cfg()
         apply_fn = self.spec.module.apply
         hp = self.hp
@@ -159,7 +161,6 @@ class ReinforceEngine(Engine):
             baselines = baselines.at[idx].set(0.9 * baselines[idx] + 0.1 * rewards)
             return (params, opt_state, baselines), (loss, rewards.mean())
 
-        @jax.jit
         def epoch(params, opt_state, baselines, feats, targets, mask, perm, rng):
             n = perm.shape[0]
             g = n // batch_size
@@ -177,6 +178,104 @@ class ReinforceEngine(Engine):
             return params, opt_state, baselines, losses.mean(), rewards.mean()
 
         return epoch
+
+    def make_epoch_fn(self, optimizer):
+        """The jitted epoch program (see make_epoch_impl)."""
+        return jax.jit(self.make_epoch_impl(optimizer))
+
+    def train_folds(self, splits: list[dict]) -> list[FoldResult] | None:
+        """All CV folds trained simultaneously (``--fold_parallel``), as in
+        train/supervised.py:train_folds: the fold axis becomes a vmapped
+        batch dimension of ONE XLA program — stacked params/Adam states and
+        per-fold EMA-baseline vectors, per-fold permutations indexing one
+        shared dataset-wide pack, the fold-invariant eval program vmapped
+        over stacked eval packs.  The K folds' vmapped episode rewards
+        (the O(T^2) hot loop, dsn.py:185-236) fuse into batched
+        contractions, lifting DSN's batch-1 arithmetic intensity.
+
+        Per-fold seeds/keys match the sequential path at ``scan_chunk >= n``
+        (one chunk per epoch); EMA baselines are keyed by video, so the
+        trajectory is the sequential one up to float reassociation.
+
+        Returns None when this run can't stack (see _fold_parallel_ready) —
+        the caller falls back to the sequential per-fold path."""
+        hps = self.hps
+        k_folds = len(splits)
+        if not self._fold_parallel_ready(splits):
+            return None
+        self.heartbeat()
+
+        feats, targets, mask, fold_idx, n_all = self._stacked_fold_data(splits)
+        n = fold_idx.shape[1]
+        bs = max(1, int(getattr(hps, "batch_size", 1)))
+        assert n >= bs, f"batch_size {bs} exceeds the folds' {n} train videos"
+
+        for fold, s in enumerate(splits):
+            self.draw_gtscores(fold, list(s["train_keys"]))
+
+        rngs, params = self._stacked_init(k_folds)
+        optimizer = torch_adam(
+            float(hps.lr), float(hps.weight_decay), clip_norm=5.0
+        )
+        epoch_multi = getattr(self, "_train_program_stacked", None)
+        if epoch_multi is None:
+            epoch_multi = jax.jit(
+                jax.vmap(
+                    self.make_epoch_impl(optimizer),
+                    in_axes=(0, 0, 0, None, None, None, 0, 0),
+                )
+            )
+            self._train_program_stacked = epoch_multi
+        opt_state = jax.vmap(optimizer.init)(params)
+        # Per-video EMA reward baselines (dsn.py:81,149), one vector per fold
+        # over GLOBAL video slots (the sequential path indexes fold-local
+        # positions; the key -> baseline mapping is identical).
+        baselines = jnp.zeros((k_folds, n_all), jnp.float32)
+
+        eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
+            splits
+        )
+
+        best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
+        #: across-folds mean reward per epoch; convergence tests assert the
+        #: sequential path's (per-fold) history, this mirrors it stacked.
+        self.reward_history = []
+        for epoch in range(int(hps.epochs)):
+            # Sequential key stream at one chunk/epoch: split(rng, 4) for
+            # (carry, perm, unused, eval), then one chunk key per fold.
+            ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+            rngs, k_perm, k_ev = ks[:, 0], ks[:, 1], ks[:, 3]
+            ks2 = jax.vmap(lambda r: jax.random.split(r))(rngs)
+            rngs, k_c = ks2[:, 0], ks2[:, 1]
+            perm_local = jax.vmap(lambda k: jax.random.permutation(k, n))(k_perm)
+            perm = jnp.take_along_axis(fold_idx, perm_local, axis=1)
+            params, opt_state, baselines, loss, reward = epoch_multi(
+                params, opt_state, baselines, feats, targets, mask, perm, k_c
+            )
+            loss, reward = np.asarray(loss), np.asarray(reward)
+            self.reward_history.append(float(reward.mean()))
+            for f in range(k_folds):
+                self.scalar(f, "Train", "Reward", float(reward[f]), epoch)
+                self.scalar(f, "Train", "Loss", float(loss[f]), epoch)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   Reward: "
+                + "  ".join(f"{float(v):.05f}" for v in reward)
+            )
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = map(
+                    np.asarray,
+                    eval_multi(params, k_ev, eval_feats, eval_mask, eval_batch),
+                )
+                for f in range(k_folds):
+                    self.scalar(f, "Test", "Correlation", float(corr[f]), epoch)
+                    self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
+                    self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
+                self._stacked_best_update(best, params, corr, af1, mf1)
+            self.heartbeat()
+
+        return self._stacked_finalize(
+            best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
+        )
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps

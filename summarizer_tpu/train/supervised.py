@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from summarizer_tpu.data.batching import pack_eval, pack_train
+from summarizer_tpu.data.batching import pack_train
 from summarizer_tpu.train.engine import Engine, FoldResult
 from summarizer_tpu.train.optim import torch_adam
 from summarizer_tpu.utils.profiling import StepTimer, trace
@@ -236,41 +236,12 @@ class SupervisedEngine(Engine):
         """
         hps = self.hps
         k_folds = len(splits)
-        if k_folds < 2:
-            return None
-        if len({len(s["train_keys"]) for s in splits}) != 1 or len(
-            {len(s["test_keys"]) for s in splits}
-        ) != 1:
-            self.log.info("fold_parallel: unequal fold sizes — sequential path")
-            return None
-        if any(
-            int(getattr(hps, flag, 0) or 0) > 1
-            for flag in ("data_parallel", "seq_parallel",
-                         "pipeline_parallel", "expert_parallel")
-        ):
-            self.log.info("fold_parallel: mesh parallelism set — sequential path")
-            return None
-        if getattr(hps, "resume", False):
-            self.log.info("fold_parallel: --resume unsupported — sequential path")
-            return None
-        corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
-        if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
-            self.log.info("fold_parallel: host-oracle eval — sequential path")
+        if not self._fold_parallel_ready(splits):
             return None
         self.heartbeat()
 
         # Shared dataset-wide pack; folds index it with global video slots.
-        all_keys = list(self.dataset.videos.keys())
-        slot = {k: i for i, k in enumerate(all_keys)}
-        pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
-        feats = jax.device_put(pack.features)
-        targets = jax.device_put(pack.targets)
-        mask = jax.device_put(pack.mask)
-        fold_idx = jnp.asarray(
-            np.array(
-                [[slot[k] for k in s["train_keys"]] for s in splits], np.int32
-            )
-        )
+        feats, targets, mask, fold_idx, _ = self._stacked_fold_data(splits)
         n = fold_idx.shape[1]
         bs = max(1, int(hps.batch_size))
         assert n >= bs, f"batch_size {bs} exceeds the folds' {n} train videos"
@@ -279,15 +250,7 @@ class SupervisedEngine(Engine):
             self.draw_gtscores(fold, list(s["train_keys"]))
 
         # Same per-fold seeds/keys as the sequential path.
-        rngs = jnp.stack(
-            [jax.random.PRNGKey(int(hps.seed) + f) for f in range(k_folds)]
-        )
-        ks = jax.vmap(lambda r: jax.random.split(r))(rngs)
-        rngs, k_init = ks[:, 0], ks[:, 1]
-        params = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[self.init_params(k_init[f]) for f in range(k_folds)],
-        )
+        rngs, params = self._stacked_init(k_folds)
 
         optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
         epoch_multi = getattr(self, "_train_program_stacked", None)
@@ -305,28 +268,9 @@ class SupervisedEngine(Engine):
         opt_state = jax.vmap(optimizer.init)(params)
 
         # Stacked eval packs (dims are dataset-global, so folds share shapes).
-        s_dim = self.eval_dims[0]
-        packs = [
-            pack_eval(
-                self.dataset.subset(list(s["test_keys"])), *self.eval_dims[:4]
-            )
-            for s in splits
-        ]
-        eval_batch = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *[p[0] for p in packs],
+        eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
+            splits
         )
-        eval_feats = jnp.stack([jnp.asarray(p[1]) for p in packs])
-        eval_mask = jnp.stack(
-            [
-                jnp.asarray(
-                    (np.arange(s_dim)[None, :] < np.asarray(p[0].n_steps)[:, None])
-                    .astype(np.float32)
-                )
-                for p in packs
-            ]
-        )
-        eval_multi = jax.jit(jax.vmap(self._device_eval_program()))
 
         best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
         timer = StepTimer("epoch")
@@ -355,29 +299,12 @@ class SupervisedEngine(Engine):
                     self.scalar(f, "Test", "Correlation", float(corr[f]), epoch)
                     self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
                     self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
-                    b = best[f]
-                    b.best_avg_f1 = max(b.best_avg_f1, float(af1[f]))
-                    b.best_max_f1 = max(b.best_max_f1, float(mf1[f]))
-                    if float(corr[f]) > b.best_corr:
-                        b.best_corr = float(corr[f])
-                        b.best_params = jax.device_get(
-                            jax.tree.map(lambda x: x[f], params)
-                        )
+                self._stacked_best_update(best, params, corr, af1, mf1)
             self.heartbeat()
 
-        if any(b.best_params is None for b in best):
-            # No eval fired (test_every > epochs): score the final params.
-            k_fin = jax.vmap(lambda r: jax.random.split(r))(rngs)[:, 1]
-            corr, af1, mf1 = map(
-                np.asarray,
-                eval_multi(params, k_fin, eval_feats, eval_mask, eval_batch),
-            )
-            for f in range(k_folds):
-                if best[f].best_params is None:
-                    best[f] = FoldResult(
-                        float(corr[f]), float(af1[f]), float(mf1[f]),
-                        jax.device_get(jax.tree.map(lambda x: x[f], params)),
-                    )
+        best = self._stacked_finalize(
+            best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
+        )
         if timer.times:
             st = timer.summary()
             self.log.debug(

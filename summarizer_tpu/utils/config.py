@@ -89,7 +89,8 @@ class HParameters:
         self.expert_parallel = 0  # N = shard the MoE expert banks over N
         # devices (transformer_moe; parallel/expert_parallel.py)
         self.fold_parallel = 0  # 1 = train all CV folds simultaneously as
-        # one vmapped program (supervised engines; train/supervised.py)
+        # one vmapped program (supervised + reinforce engines;
+        # train/supervised.py, train/reinforce.py)
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"

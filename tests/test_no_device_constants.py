@@ -77,6 +77,7 @@ def test_reinforce_epoch_lowers_without_device_constants():
         hp = {"input_size": 128}
         spec = type("S", (), {"module": dsn})
         _cfg = ReinforceEngine._cfg
+        make_epoch_impl = ReinforceEngine.make_epoch_impl
         # make_epoch_fn reads batch_size/data_parallel off hps via getattr
         # with defaults; an empty namespace keeps the reference dynamics.
         hps = type("H", (), {})()

@@ -347,6 +347,29 @@ def test_fold_parallel_vasnet_runs(tmp_path, synth_h5):
     assert np.isfinite(corr) and 0.0 <= avg_f1 <= max_f1 <= 1.0
 
 
+def test_fold_parallel_dsn_matches_sequential(tmp_path, synth_h5):
+    """The REINFORCE engine's train_folds (stacked params/Adam/EMA-baselines,
+    one vmapped program) must reproduce the sequential path's CV metrics:
+    the per-fold key streams are identical at one chunk per epoch, so the
+    trajectories agree up to float reassociation of the batched matmuls."""
+    from summarizer_tpu.train.loop import train
+
+    extra = {"input_size": 64, "hidden_size": 16, "num_episodes": 3}
+    hps_seq, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", dict(extra, scan_chunk=64),
+        log_dir=str(tmp_path / "dsn_seq_logs"),
+    )
+    seq = train(hps_seq)
+    hps_par, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", extra,
+        fold_parallel=1, log_dir=str(tmp_path / "dsn_par_logs"),
+    )
+    par = train(hps_par)
+    assert abs(par[0][1] - seq[0][1]) < 0.02, (par, seq)  # CV corr
+    assert abs(par[0][2] - seq[0][2]) < 0.02, (par, seq)  # CV avg F1
+    assert abs(par[0][3] - seq[0][3]) < 0.02, (par, seq)  # CV max F1
+
+
 def test_fold_parallel_falls_back_on_unequal_folds(tmp_path, synth_h5):
     """Unequal fold sizes can't stack; train() must silently use the
     sequential path and still return real results."""
