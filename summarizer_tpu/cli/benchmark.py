@@ -25,19 +25,30 @@ from summarizer_tpu.utils.config import HParameters
 # recurrent updates are HBM-bound on TPU; use ``--models`` + custom flags
 # for exact reference batch-1 dynamics.
 MODEL_CONFIGS = [
-    ("Random", {"model": "random", "epochs": 1, "extra_params": {}}),
-    ("Logistic Regression", {"model": "logistic", "epochs": 30, "extra_params": {}}),
-    ("VASNet", {"model": "vasnet", "epochs": 30, "extra_params": {}}),
+    # fold_parallel=1: supervised + REINFORCE families train all 5 CV folds
+    # as one vmapped program (train/supervised.py, train/reinforce.py);
+    # stacked-state resume keeps the sweep's retry-as-resume behavior.
+    ("Random", {"model": "random", "epochs": 1, "fold_parallel": 1,
+                "extra_params": {}}),
+    ("Logistic Regression", {"model": "logistic", "epochs": 30,
+                             "fold_parallel": 1, "extra_params": {}}),
+    ("VASNet", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
+                "extra_params": {}}),
     # 30 s aperture at 2 feature-fps (the paper's best long-video config,
     # Summarizer.pdf §4.2) == 60 steps.
-    ("VASNet_loc", {"model": "vasnet", "epochs": 30, "extra_params": {"local": 60}}),
-    ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
+    ("VASNet_loc", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
+                    "extra_params": {"local": 60}}),
+    ("Transformer", {"model": "transformer", "epochs": 30, "fold_parallel": 1,
+                     "extra_params": {}}),
     # New family (no reference counterpart): MoE encoder, 4 experts top-2.
     ("Transformer-MoE", {"model": "transformer_moe", "epochs": 30,
-                         "extra_params": {}}),
-    ("vsLSTM", {"model": "vslstm", "epochs": 30, "extra_params": {}}),
-    ("DSN", {"model": "dsn", "epochs": 20, "extra_params": {}}),
-    ("DSN_sup", {"model": "dsn", "epochs": 20, "extra_params": {"sup": 1}}),
+                         "fold_parallel": 1, "extra_params": {}}),
+    ("vsLSTM", {"model": "vslstm", "epochs": 30, "fold_parallel": 1,
+                "extra_params": {}}),
+    ("DSN", {"model": "dsn", "epochs": 20, "fold_parallel": 1,
+             "extra_params": {}}),
+    ("DSN_sup", {"model": "dsn", "epochs": 20, "fold_parallel": 1,
+                 "extra_params": {"sup": 1}}),
     # bucket=0 (explicit; also the bs<24 default): one cached 3-phase
     # executable per dataset, no per-bucket-shape variants.  resume_light=1:
     # the tunnel moves ~20 MB/s, so a 2.3 GB full train state costs ~2 min

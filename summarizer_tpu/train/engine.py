@@ -165,9 +165,9 @@ class Engine:
     # axis rides the MXU batch dimension.
     def _fold_parallel_ready(self, splits) -> bool:
         """Common guards: folds must stack (equal sizes), no mesh parallelism
-        (the stacked program owns the devices), no --resume (stacked states
-        aren't checkpointed per fold), device eval (the stacked eval is the
-        vmapped device program)."""
+        (the stacked program owns the devices), device eval (the stacked
+        eval is the vmapped device program).  --resume IS supported: the
+        stacked state checkpoints as one file (_stacked_state_path)."""
         hps = self.hps
         if len(splits) < 2:
             return False
@@ -182,9 +182,6 @@ class Engine:
                          "pipeline_parallel", "expert_parallel")
         ):
             self.log.info("fold_parallel: mesh parallelism set — sequential path")
-            return False
-        if getattr(hps, "resume", False):
-            self.log.info("fold_parallel: --resume unsupported — sequential path")
             return False
         corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
         if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
@@ -265,6 +262,54 @@ class Engine:
                 b.best_params = jax.device_get(
                     jax.tree.map(lambda x: x[f], params)
                 )
+
+    def _stacked_state_path(self) -> str:
+        """Checkpoint path for the STACKED train state (all folds in one
+        file).  Distinct from the per-fold sequential paths so switching
+        --fold_parallel on/off between retries never resumes a mismatched
+        pytree structure."""
+        import os
+
+        return getattr(self.hps, "resume_path", None) or os.path.join(
+            self.hps.log_path, f"state_{self.dataset_name}_stacked.ckpt"
+        )
+
+    def _stacked_resume_load(self, params, opt_state, rngs, extras):
+        """Load a stacked checkpoint if --resume is set and one exists.
+        Returns (params, opt_state, rngs, extras, start_epoch).  Like the
+        sequential paths, best-by-corr tracking restarts at the resume
+        point (pre-crash snapshots are gone with the process; the retry
+        re-evaluates from start_epoch on)."""
+        import os
+
+        from summarizer_tpu.train.resume import TrainState, load_state
+
+        path = self._stacked_state_path()
+        if not (getattr(self.hps, "resume", False) and os.path.exists(path)):
+            return params, opt_state, rngs, extras, 0
+        st = load_state(
+            path,
+            TrainState(params=params, opt_state=opt_state, rng=rngs,
+                       extras=extras),
+        )
+        self.log.info(f"Resumed stacked folds at epoch {st.epoch}")
+        self.heartbeat()
+        return st.params, st.opt_state, jnp.asarray(st.rng), st.extras, st.epoch
+
+    def _stacked_maybe_save(self, params, opt_state, rngs, extras, epoch,
+                            force=False):
+        """Wall-gated async save of the stacked state (see maybe_save_state);
+        no-op unless --resume is set."""
+        if not getattr(self.hps, "resume", False):
+            return
+        from summarizer_tpu.train.resume import TrainState
+
+        self.maybe_save_state(
+            self._stacked_state_path(),
+            TrainState(params=params, opt_state=opt_state, epoch=epoch,
+                       rng=rngs, extras=extras),
+            force=force,
+        )
 
     def _stacked_finalize(self, best, params, rngs, eval_multi, eval_feats,
                           eval_mask, eval_batch):

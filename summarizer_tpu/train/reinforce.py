@@ -231,6 +231,10 @@ class ReinforceEngine(Engine):
         # over GLOBAL video slots (the sequential path indexes fold-local
         # positions; the key -> baseline mapping is identical).
         baselines = jnp.zeros((k_folds, n_all), jnp.float32)
+        params, opt_state, rngs, extras, start_epoch = self._stacked_resume_load(
+            params, opt_state, rngs, {"baselines": baselines}
+        )
+        baselines = jnp.asarray(extras["baselines"])
 
         eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
             splits
@@ -240,7 +244,7 @@ class ReinforceEngine(Engine):
         #: across-folds mean reward per epoch; convergence tests assert the
         #: sequential path's (per-fold) history, this mirrors it stacked.
         self.reward_history = []
-        for epoch in range(int(hps.epochs)):
+        for epoch in range(start_epoch, int(hps.epochs)):
             # Sequential key stream at one chunk/epoch: split(rng, 4) for
             # (carry, perm, unused, eval), then one chunk key per fold.
             ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
@@ -271,8 +275,16 @@ class ReinforceEngine(Engine):
                     self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
                     self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
                 self._stacked_best_update(best, params, corr, af1, mf1)
+                self._stacked_maybe_save(
+                    params, opt_state, rngs, {"baselines": baselines}, epoch + 1
+                )
             self.heartbeat()
 
+        if start_epoch < int(hps.epochs):
+            self._stacked_maybe_save(
+                params, opt_state, rngs, {"baselines": baselines},
+                int(hps.epochs), force=True,
+            )
         return self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )

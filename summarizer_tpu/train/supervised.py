@@ -231,8 +231,9 @@ class SupervisedEngine(Engine):
         matmuls.
 
         Returns one FoldResult per fold, or None when this run can't stack
-        (unequal fold sizes, mesh parallelism, --resume, host-oracle eval)
-        — the caller falls back to the sequential per-fold path.
+        (unequal fold sizes, mesh parallelism, host-oracle eval) — the
+        caller falls back to the sequential per-fold path.  --resume
+        checkpoints all folds as one stacked state file.
         """
         hps = self.hps
         k_folds = len(splits)
@@ -266,6 +267,9 @@ class SupervisedEngine(Engine):
             )
             self._train_program_stacked = epoch_multi
         opt_state = jax.vmap(optimizer.init)(params)
+        params, opt_state, rngs, _, start_epoch = self._stacked_resume_load(
+            params, opt_state, rngs, {}
+        )
 
         # Stacked eval packs (dims are dataset-global, so folds share shapes).
         eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
@@ -274,7 +278,7 @@ class SupervisedEngine(Engine):
 
         best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
         timer = StepTimer("epoch")
-        for epoch in range(int(hps.epochs)):
+        for epoch in range(start_epoch, int(hps.epochs)):
             ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
             rngs, k_perm, k_ep, k_ev = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
             perm_local = jax.vmap(lambda k: jax.random.permutation(k, n))(k_perm)
@@ -300,8 +304,13 @@ class SupervisedEngine(Engine):
                     self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
                     self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
                 self._stacked_best_update(best, params, corr, af1, mf1)
+                self._stacked_maybe_save(params, opt_state, rngs, {}, epoch + 1)
             self.heartbeat()
 
+        if start_epoch < int(hps.epochs):
+            self._stacked_maybe_save(
+                params, opt_state, rngs, {}, int(hps.epochs), force=True
+            )
         best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )

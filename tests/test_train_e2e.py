@@ -370,6 +370,36 @@ def test_fold_parallel_dsn_matches_sequential(tmp_path, synth_h5):
     assert abs(par[0][3] - seq[0][3]) < 0.02, (par, seq)  # CV max F1
 
 
+def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5):
+    """--fold_parallel --resume: the stacked train state (params/Adam/rngs
+    for all folds in ONE file) checkpoints at test epochs and a retry
+    continues instead of restarting — the benchmark sweep's retry-as-resume
+    path for fold-parallel families."""
+    import glob
+
+    from summarizer_tpu.train.loop import train
+
+    log_dir = str(tmp_path / "fp_resume_logs")
+    hps1, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        fold_parallel=1, resume=True, epochs=2, log_dir=log_dir,
+    )
+    train(hps1)
+    states = glob.glob(os.path.join(log_dir, "*stacked.ckpt"))
+    assert states, f"no stacked state written in {log_dir}"
+
+    # Retry at a larger budget: must resume from epoch 2, not restart.
+    hps2, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        fold_parallel=1, resume=True, epochs=4, log_dir=log_dir,
+        log_level="info",
+    )
+    res = train(hps2)
+    assert np.isfinite(res[0][1])
+    log_text = open(os.path.join(log_dir, "train.log")).read()
+    assert "Resumed stacked folds at epoch 2" in log_text
+
+
 def test_fold_parallel_falls_back_on_unequal_folds(tmp_path, synth_h5):
     """Unequal fold sizes can't stack; train() must silently use the
     sequential path and still return real results."""
