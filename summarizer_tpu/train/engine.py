@@ -263,6 +263,15 @@ class Engine:
                     jax.tree.map(lambda x: x[f], params)
                 )
 
+    def _stacked_opt_init(self, optimizer, params, k_folds: int):
+        """Stacked optimizer states.  Non-trainable zoo members (Random)
+        have EMPTY param trees; vmap needs an array argument to batch over,
+        so their (scalar-count) state is stacked directly instead."""
+        if jax.tree.leaves(params):
+            return jax.vmap(optimizer.init)(params)
+        state = optimizer.init(params)
+        return jax.tree.map(lambda x: jnp.stack([x] * k_folds), state)
+
     def _stacked_state_path(self) -> str:
         """Checkpoint path for the STACKED train state (all folds in one
         file).  Distinct from the per-fold sequential paths so switching

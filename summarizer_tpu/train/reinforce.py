@@ -226,7 +226,7 @@ class ReinforceEngine(Engine):
                 )
             )
             self._train_program_stacked = epoch_multi
-        opt_state = jax.vmap(optimizer.init)(params)
+        opt_state = self._stacked_opt_init(optimizer, params, k_folds)
         # Per-video EMA reward baselines (dsn.py:81,149), one vector per fold
         # over GLOBAL video slots (the sequential path indexes fold-local
         # positions; the key -> baseline mapping is identical).

@@ -266,7 +266,7 @@ class SupervisedEngine(Engine):
                 )
             )
             self._train_program_stacked = epoch_multi
-        opt_state = jax.vmap(optimizer.init)(params)
+        opt_state = self._stacked_opt_init(optimizer, params, k_folds)
         params, opt_state, rngs, _, start_epoch = self._stacked_resume_load(
             params, opt_state, rngs, {}
         )

@@ -370,7 +370,12 @@ def test_fold_parallel_dsn_matches_sequential(tmp_path, synth_h5):
     assert abs(par[0][3] - seq[0][3]) < 0.02, (par, seq)  # CV max F1
 
 
-def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5):
+@pytest.mark.parametrize("model,extra", [
+    ("logistic", {"input_size": 64}),
+    # dsn exercises the extras channel (per-fold EMA baselines).
+    ("dsn", {"input_size": 64, "hidden_size": 16, "num_episodes": 2}),
+])
+def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5, model, extra):
     """--fold_parallel --resume: the stacked train state (params/Adam/rngs
     for all folds in ONE file) checkpoints at test epochs and a retry
     continues instead of restarting — the benchmark sweep's retry-as-resume
@@ -379,9 +384,9 @@ def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5):
 
     from summarizer_tpu.train.loop import train
 
-    log_dir = str(tmp_path / "fp_resume_logs")
+    log_dir = str(tmp_path / f"fp_resume_logs_{model}")
     hps1, _ = _mk_kfold_hps(
-        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        tmp_path, synth_h5, model, extra, lr=1e-3,
         fold_parallel=1, resume=True, epochs=2, log_dir=log_dir,
     )
     train(hps1)
@@ -390,7 +395,7 @@ def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5):
 
     # Retry at a larger budget: must resume from epoch 2, not restart.
     hps2, _ = _mk_kfold_hps(
-        tmp_path, synth_h5, "logistic", {"input_size": 64}, lr=1e-3,
+        tmp_path, synth_h5, model, extra, lr=1e-3,
         fold_parallel=1, resume=True, epochs=4, log_dir=log_dir,
         log_level="info",
     )
