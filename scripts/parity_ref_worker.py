@@ -83,6 +83,53 @@ def main(argv):
 
         rv.VASNetTrainer._init_model = _init_model_no_dropout
 
+    cap = None
+    if cfg.get("capture_dsn"):
+        # Lockstep capture mode (scripts/parity_lockstep_dsn.py): record the
+        # reference DSN trainer's complete stochastic trajectory — per-fold
+        # initial weights (state_dict), per-epoch shuffled key orders
+        # (dsn.py:93 random.shuffle), and every Bernoulli episode's sampled
+        # actions (dsn.py:126) — so the TPU engine can replay the SAME
+        # trajectory with no RNG replication at all.
+        import summarizer.models.dsn as rd
+
+        cap = {"inits": [], "orders": [], "actions": []}
+
+        class RecordingBernoulli(torch.distributions.Bernoulli):
+            def sample(self_, *a, **kw):
+                actions = super().sample(*a, **kw)
+                cap["actions"].append(
+                    actions.detach().cpu().numpy().reshape(-1).astype(np.uint8)
+                )
+                return actions
+
+        rd.Bernoulli = RecordingBernoulli
+
+        class RecordingRandom:
+            """dsn.py's ``random`` namespace with a shuffle that records the
+            resulting order (everything else passes through)."""
+
+            def __getattr__(self_, name):
+                return getattr(random, name)
+
+            def shuffle(self_, lst):
+                random.shuffle(lst)
+                cap["orders"].append(list(lst))
+
+        rd.random = RecordingRandom()
+
+        _orig_init_model = rd.DSNTrainer._init_model
+
+        def _recording_init_model(self_):
+            model = _orig_init_model(self_)
+            cap["inits"].append(
+                {k: v.detach().cpu().numpy().copy()
+                 for k, v in model.state_dict().items()}
+            )
+            return model
+
+        rd.DSNTrainer._init_model = _recording_init_model
+
     hps_init = {
         "model": cfg["model"],
         "splits_files": list(cfg["splits_files"]),
@@ -91,7 +138,7 @@ def main(argv):
         "weight_decay": cfg.get("weight_decay"),
         "test_every_epochs": cfg.get("test_every_epochs"),
         "use_cuda": "no",
-        "log_level": "error",
+        "log_level": cfg.get("log_level", "error"),
         "extra_params": cfg.get("extra_params", {}),
     }
     hps = HParameters()
@@ -118,6 +165,18 @@ def main(argv):
             for sf, c, a, m in results
         ],
     }
+    if cap is not None:
+        import pickle
+
+        with open(cfg["capture_dsn"], "wb") as f:
+            pickle.dump(
+                {"cap": cap, "cfg": cfg, "result": out},
+                f, protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        print(f"CAPTURE {cfg['capture_dsn']} "
+              f"inits={len(cap['inits'])} orders={len(cap['orders'])} "
+              f"actions={len(cap['actions'])}", flush=True)
+
     print("PARITY_RESULT " + json.dumps(out), flush=True)
     hps.writer.close()
 
