@@ -104,6 +104,87 @@ def make_epoch_fn(apply_fn, hp, optimizer, trainable: bool, batch_size: int,
     )
 
 
+def make_cv_fused(epoch_impl, eval_program, *, epochs: int, test_every: int,
+                  n: int):
+    """The ENTIRE fold-parallel CV run as ONE XLA program.
+
+    The per-epoch stacked loop (train_folds below, ``--fused 0``) still pays
+    one host<->device round trip per epoch (the blocking loss fetch) plus one
+    per eval and a multi-MB stacked-params pull on every best-corr
+    improvement; through the remote-TPU tunnel those round trips — not
+    device compute — dominate small-model sweeps (~2 s each measured).  Here
+    epochs become a ``lax.scan``, eval fires under ``lax.cond`` on the same
+    ``epoch % test_every == 0`` cadence as the sequential path
+    (summarizer/models/logistic.py:96-104 semantics), and best-by-corr
+    params snapshots are on-device ``where`` selects.  One dispatch, then
+    scalars + the best params cross the tunnel once.
+
+    RNG parity: the scan body draws the identical (perm, epoch, eval) key
+    streams as the per-epoch loop, so fused == non-fused bit-for-bit up to
+    XLA scheduling (pinned by tests/test_fused_cv.py).
+    """
+    epoch_v = jax.vmap(epoch_impl, in_axes=(0, 0, None, None, None, 0, 0))
+    eval_v = jax.vmap(eval_program)
+
+    @jax.jit
+    def cv_program(params, opt_state, rngs, feats, targets, mask, fold_idx,
+                   eval_feats, eval_mask, eval_batch):
+        k = rngs.shape[0]
+
+        def step(carry, epoch):
+            (params, opt_state, rngs, best_c, best_a, best_m,
+             best_params) = carry
+            ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+            rngs2, k_perm, k_ep, k_ev = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+            perm_local = jax.vmap(
+                lambda kk: jax.random.permutation(kk, n)
+            )(k_perm)
+            perm = jnp.take_along_axis(fold_idx, perm_local, axis=1)
+            params, opt_state, loss = epoch_v(
+                params, opt_state, feats, targets, mask, perm, k_ep
+            )
+            evaled = (epoch % test_every) == 0
+            corr, af1, mf1 = jax.lax.cond(
+                evaled,
+                lambda _: eval_v(params, k_ev, eval_feats, eval_mask,
+                                 eval_batch),
+                lambda _: (jnp.full((k,), jnp.nan),) * 3,
+                None,
+            )
+            improved = evaled & (corr > best_c)
+            best_c = jnp.where(improved, corr, best_c)
+            best_a = jnp.where(evaled, jnp.maximum(best_a, af1), best_a)
+            best_m = jnp.where(evaled, jnp.maximum(best_m, mf1), best_m)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(
+                    improved.reshape((k,) + (1,) * (p.ndim - 1)), p, b
+                ),
+                best_params, params,
+            )
+            return (
+                (params, opt_state, rngs2, best_c, best_a, best_m,
+                 best_params),
+                (loss, corr, af1, mf1),
+            )
+
+        k_arr = rngs.shape[0]
+        init = (
+            params, opt_state, rngs,
+            jnp.full((k_arr,), -1.0, jnp.float32),
+            jnp.zeros((k_arr,), jnp.float32),
+            jnp.zeros((k_arr,), jnp.float32),
+            params,
+        )
+        carry, (losses, corrs, af1s, mf1s) = jax.lax.scan(
+            step, init, jnp.arange(epochs)
+        )
+        (params, opt_state, rngs, best_c, best_a, best_m, best_params) = carry
+        return (params, opt_state, rngs, best_c, best_a, best_m, best_params,
+                losses, corrs, af1s, mf1s)
+
+    return cv_program
+
+
 class SupervisedEngine(Engine):
     def train_apply_fn(self):
         """The model forward used by the epoch program.  With
@@ -276,6 +357,13 @@ class SupervisedEngine(Engine):
             splits
         )
 
+        if int(getattr(hps, "fused", 1) or 0) and start_epoch == 0:
+            return self._train_folds_fused(
+                splits, params, opt_state, rngs, feats, targets, mask,
+                fold_idx, optimizer, bs, eval_multi,
+                eval_feats, eval_mask, eval_batch,
+            )
+
         best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
         timer = StepTimer("epoch")
         for epoch in range(start_epoch, int(hps.epochs)):
@@ -321,6 +409,83 @@ class SupervisedEngine(Engine):
                 f"mean {st['mean_s'] * 1e3:.1f} ms  p50 {st['p50_s'] * 1e3:.1f} ms"
             )
         return best
+
+    def _train_folds_fused(self, splits, params, opt_state, rngs, feats,
+                           targets, mask, fold_idx, optimizer, bs,
+                           eval_multi, eval_feats, eval_mask, eval_batch):
+        """One-dispatch fold-parallel CV (see make_cv_fused).  Per-epoch
+        losses and eval metrics come back as stacked arrays and are logged
+        post-hoc, so TensorBoard output is identical to the per-epoch path."""
+        hps = self.hps
+        k_folds = len(splits)
+        n = fold_idx.shape[1]
+        epochs = int(hps.epochs)
+        test_every = int(hps.test_every_epochs)
+
+        import time as _time
+
+        cv = getattr(self, "_cv_program_stacked", None)
+        if cv is None:
+            _t0 = _time.time()
+            cv = make_cv_fused(
+                make_epoch_impl(
+                    self.train_apply_fn(), self.hp, optimizer,
+                    self.spec.trainable, bs,
+                ),
+                self._device_eval_program(),
+                epochs=epochs, test_every=test_every, n=n,
+            )
+            self._cv_program_stacked = cv
+            self.log.debug(f"fused CV build: {_time.time() - _t0:.1f} s")
+        self.heartbeat()
+        timer = StepTimer("cv_fused")
+        with timer:
+            (params, opt_state, rngs, best_c, best_a, best_m, best_params,
+             losses, corrs, af1s, mf1s) = cv(
+                params, opt_state, rngs, feats, targets, mask, fold_idx,
+                eval_feats, eval_mask, eval_batch,
+            )
+            # ONE blocking fetch for everything scalar-sized; the stacked
+            # best params cross the tunnel once, below.
+            best_c, best_a, best_m, losses, corrs, af1s, mf1s = map(
+                np.asarray,
+                (best_c, best_a, best_m, losses, corrs, af1s, mf1s),
+            )
+        self.heartbeat()
+        for epoch in range(epochs):
+            for f in range(k_folds):
+                self.scalar(f, "Train", "Loss", float(losses[epoch, f]), epoch)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{epochs}':6}   Loss: "
+                + "  ".join(f"{float(v):.05f}" for v in losses[epoch])
+            )
+            if epoch % test_every == 0:
+                for f in range(k_folds):
+                    self.scalar(f, "Test", "Correlation", float(corrs[epoch, f]), epoch)
+                    self.scalar(f, "Test", "F-score_avg", float(af1s[epoch, f]), epoch)
+                    self.scalar(f, "Test", "F-score_max", float(mf1s[epoch, f]), epoch)
+        self.log.info(
+            f"fused CV dispatch: {timer.summary()['mean_s']:.1f} s "
+            f"({epochs} epochs x {k_folds} folds)"
+        )
+        self._stacked_maybe_save(params, opt_state, rngs, {}, epochs, force=True)
+        _t0 = _time.time()
+        best_params = jax.device_get(best_params)
+        self.log.debug(f"fused CV best-params pull: {_time.time() - _t0:.1f} s")
+        best = [
+            FoldResult(
+                float(best_c[f]), float(best_a[f]), float(best_m[f]),
+                # corr never improved past the -1 sentinel => no snapshot was
+                # taken; leave None so _stacked_finalize scores final params
+                # (mirrors the per-epoch path's semantics).
+                None if best_c[f] <= -1.0
+                else jax.tree.map(lambda x: x[f], best_params),
+            )
+            for f in range(k_folds)
+        ]
+        return self._stacked_finalize(
+            best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
+        )
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps

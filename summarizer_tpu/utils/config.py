@@ -91,6 +91,10 @@ class HParameters:
         self.fold_parallel = 0  # 1 = train all CV folds simultaneously as
         # one vmapped program (supervised + reinforce engines;
         # train/supervised.py, train/reinforce.py)
+        self.fused = 1  # with fold_parallel: run the WHOLE CV (all epochs +
+        # evals + best-weights tracking) as ONE XLA dispatch — the remote-TPU
+        # tunnel's per-dispatch round trip (~1-2 s) otherwise dominates the
+        # wall-clock of small-model sweeps.  0 = per-epoch dispatches.
         self.eval_device = True  # batched on-device eval vs host oracle
         self.tensorboard = True
         self.log_root = "logs"

@@ -335,6 +335,27 @@ def test_fold_parallel_matches_sequential(tmp_path, synth_h5):
     assert abs(par[0][3] - seq[0][3]) < 0.02, (par, seq)  # CV max F1
 
 
+def test_fused_cv_matches_per_epoch_stacked(tmp_path, synth_h5):
+    """--fused 1 (whole CV as ONE XLA dispatch, train/supervised.py::
+    make_cv_fused) must reproduce the per-epoch stacked loop exactly: the
+    scan body draws the identical key streams and evals on the identical
+    epoch % test_every cadence, so metrics agree to float tolerance."""
+    from summarizer_tpu.train.loop import train
+
+    hps_loop, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64}, lr=1e-3,
+        fold_parallel=1, fused=0, log_dir=str(tmp_path / "fp_loop_logs"),
+    )
+    loop = train(hps_loop)
+    hps_fused, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64}, lr=1e-3,
+        fold_parallel=1, fused=1, log_dir=str(tmp_path / "fp_fused_logs"),
+    )
+    fused = train(hps_fused)
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
+
+
 def test_fold_parallel_vasnet_runs(tmp_path, synth_h5):
     from summarizer_tpu.train.loop import train
 
