@@ -74,6 +74,80 @@ def compute_reward(x, actions, mask, far_sim: bool, temp_dist_thre: int):
     return jnp.where(n_picks == 0, 0.0, 0.5 * (r_div + r_rep))
 
 
+def make_cv_fused_rl(epoch_impl, eval_program, *, epochs: int, test_every: int,
+                     n: int):
+    """The ENTIRE fold-parallel REINFORCE CV run as ONE XLA program — the
+    RL twin of train/supervised.py::make_cv_fused (see its docstring for the
+    tunnel round-trip rationale).  Differences: the scan carry additionally
+    threads the per-video EMA reward baselines, the epoch program also
+    returns the mean episode reward, and the key stream reproduces the
+    per-epoch stacked loop exactly (split(rng, 4) for perm/eval, then one
+    more split for the chunk key — train_folds' one-chunk-per-epoch
+    cadence)."""
+    epoch_v = jax.vmap(epoch_impl, in_axes=(0, 0, 0, None, None, None, 0, 0))
+    eval_v = jax.vmap(eval_program)
+
+    @jax.jit
+    def cv_program(params, opt_state, baselines, rngs, feats, targets, mask,
+                   fold_idx, eval_feats, eval_mask, eval_batch):
+        k = rngs.shape[0]
+
+        def step(carry, epoch):
+            (params, opt_state, baselines, rngs, best_c, best_a, best_m,
+             best_params) = carry
+            ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+            rngs, k_perm, k_ev = ks[:, 0], ks[:, 1], ks[:, 3]
+            ks2 = jax.vmap(lambda r: jax.random.split(r))(rngs)
+            rngs2, k_c = ks2[:, 0], ks2[:, 1]
+            perm_local = jax.vmap(
+                lambda kk: jax.random.permutation(kk, n)
+            )(k_perm)
+            perm = jnp.take_along_axis(fold_idx, perm_local, axis=1)
+            params, opt_state, baselines, loss, reward = epoch_v(
+                params, opt_state, baselines, feats, targets, mask, perm, k_c
+            )
+            evaled = (epoch % test_every) == 0
+            corr, af1, mf1 = jax.lax.cond(
+                evaled,
+                lambda _: eval_v(params, k_ev, eval_feats, eval_mask,
+                                 eval_batch),
+                lambda _: (jnp.full((k,), jnp.nan),) * 3,
+                None,
+            )
+            improved = evaled & (corr > best_c)
+            best_c = jnp.where(improved, corr, best_c)
+            best_a = jnp.where(evaled, jnp.maximum(best_a, af1), best_a)
+            best_m = jnp.where(evaled, jnp.maximum(best_m, mf1), best_m)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(
+                    improved.reshape((k,) + (1,) * (p.ndim - 1)), p, b
+                ),
+                best_params, params,
+            )
+            return (
+                (params, opt_state, baselines, rngs2, best_c, best_a, best_m,
+                 best_params),
+                (loss, reward, corr, af1, mf1),
+            )
+
+        init = (
+            params, opt_state, baselines, rngs,
+            jnp.full((k,), -1.0, jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+            params,
+        )
+        carry, (losses, rewards, corrs, af1s, mf1s) = jax.lax.scan(
+            step, init, jnp.arange(epochs)
+        )
+        (params, opt_state, baselines, rngs, best_c, best_a, best_m,
+         best_params) = carry
+        return (params, opt_state, baselines, rngs, best_c, best_a, best_m,
+                best_params, losses, rewards, corrs, af1s, mf1s)
+
+    return cv_program
+
+
 class ReinforceEngine(Engine):
     def _cfg(self):
         hp = self.hp
@@ -240,6 +314,13 @@ class ReinforceEngine(Engine):
             splits
         )
 
+        if int(getattr(hps, "fused", 1) or 0) and start_epoch == 0:
+            return self._train_folds_fused(
+                splits, params, opt_state, baselines, rngs, feats, targets,
+                mask, fold_idx, optimizer, eval_multi, eval_feats, eval_mask,
+                eval_batch,
+            )
+
         best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
         #: across-folds mean reward per epoch; convergence tests assert the
         #: sequential path's (per-fold) history, this mirrors it stacked.
@@ -285,6 +366,77 @@ class ReinforceEngine(Engine):
                 params, opt_state, rngs, {"baselines": baselines},
                 int(hps.epochs), force=True,
             )
+        return self._stacked_finalize(
+            best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
+        )
+
+    def _train_folds_fused(self, splits, params, opt_state, baselines, rngs,
+                           feats, targets, mask, fold_idx, optimizer,
+                           eval_multi, eval_feats, eval_mask, eval_batch):
+        """One-dispatch fold-parallel REINFORCE CV (see make_cv_fused_rl).
+        Reward/loss curves and eval metrics come back stacked and are logged
+        post-hoc, identical to the per-epoch path's TensorBoard output."""
+        import time as _time
+
+        hps = self.hps
+        k_folds = len(splits)
+        n = fold_idx.shape[1]
+        epochs = int(hps.epochs)
+        test_every = int(hps.test_every_epochs)
+
+        cv = getattr(self, "_cv_program_stacked", None)
+        if cv is None:
+            cv = make_cv_fused_rl(
+                self.make_epoch_impl(optimizer),
+                self._device_eval_program(),
+                epochs=epochs, test_every=test_every, n=n,
+            )
+            self._cv_program_stacked = cv
+        self.heartbeat()
+        t0 = _time.time()
+        (params, opt_state, baselines, rngs, best_c, best_a, best_m,
+         best_params, losses, rewards, corrs, af1s, mf1s) = cv(
+            params, opt_state, baselines, rngs, feats, targets, mask,
+            fold_idx, eval_feats, eval_mask, eval_batch,
+        )
+        best_c, best_a, best_m, losses, rewards, corrs, af1s, mf1s = map(
+            np.asarray,
+            (best_c, best_a, best_m, losses, rewards, corrs, af1s, mf1s),
+        )
+        self.log.info(
+            f"fused CV dispatch: {_time.time() - t0:.1f} s "
+            f"({epochs} epochs x {k_folds} folds)"
+        )
+        self.heartbeat()
+        self.reward_history = [float(r.mean()) for r in rewards]
+        for epoch in range(epochs):
+            for f in range(k_folds):
+                self.scalar(f, "Train", "Reward", float(rewards[epoch, f]), epoch)
+                self.scalar(f, "Train", "Loss", float(losses[epoch, f]), epoch)
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{epochs}':6}   Reward: "
+                + "  ".join(f"{float(v):.05f}" for v in rewards[epoch])
+            )
+            if epoch % test_every == 0:
+                for f in range(k_folds):
+                    self.scalar(f, "Test", "Correlation", float(corrs[epoch, f]), epoch)
+                    self.scalar(f, "Test", "F-score_avg", float(af1s[epoch, f]), epoch)
+                    self.scalar(f, "Test", "F-score_max", float(mf1s[epoch, f]), epoch)
+        self._stacked_maybe_save(
+            params, opt_state, rngs, {"baselines": baselines}, epochs,
+            force=True,
+        )
+        t0 = _time.time()
+        best_params = jax.device_get(best_params)
+        self.log.debug(f"fused CV best-params pull: {_time.time() - t0:.1f} s")
+        best = [
+            FoldResult(
+                float(best_c[f]), float(best_a[f]), float(best_m[f]),
+                None if best_c[f] <= -1.0
+                else jax.tree.map(lambda x: x[f], best_params),
+            )
+            for f in range(k_folds)
+        ]
         return self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )

@@ -356,6 +356,27 @@ def test_fused_cv_matches_per_epoch_stacked(tmp_path, synth_h5):
         assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
 
 
+def test_fused_cv_rl_matches_per_epoch_stacked(tmp_path, synth_h5):
+    """The REINFORCE twin (train/reinforce.py::make_cv_fused_rl) must
+    reproduce the per-epoch stacked loop: identical key streams (incl. the
+    extra chunk-key split) and EMA-baseline threading."""
+    from summarizer_tpu.train.loop import train
+
+    extra = {"input_size": 64, "hidden_size": 16, "num_episodes": 2}
+    hps_loop, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", extra, fold_parallel=1, fused=0,
+        log_dir=str(tmp_path / "rl_loop_logs"),
+    )
+    loop = train(hps_loop)
+    hps_fused, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", extra, fold_parallel=1, fused=1,
+        log_dir=str(tmp_path / "rl_fused_logs"),
+    )
+    fused = train(hps_fused)
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
+
+
 def test_fold_parallel_vasnet_runs(tmp_path, synth_h5):
     from summarizer_tpu.train.loop import train
 
