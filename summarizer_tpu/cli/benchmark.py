@@ -50,12 +50,17 @@ MODEL_CONFIGS = [
     # Summarizer.pdf §4.2) == 60 steps.
     ("VASNet_loc", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
                     "extra_params": {"local": 60}}),
-    # Transformers stay sequential: the stacked 6L encoder is HBM-bound per
-    # step and the x5 fold axis multiplies activation traffic — measured
-    # 1.7-3.5x SLOWER fold-parallel (1440/693 s vs 411 s per dataset).
-    ("Transformer", {"model": "transformer", "epochs": 30, "extra_params": {}}),
+    # Transformers stay sequential AND unfused: the stacked 6L encoder is
+    # HBM-bound per step (clean A/B: 349 s fold-parallel vs 265 s sequential
+    # per dataset), and the fused whole-run program compiles to a ~39 MB
+    # executable whose one-time upload to the tunneled TPU worker costs
+    # ~8 min — far more than the per-epoch dispatches it saves.  On locally
+    # attached TPUs (PCIe executable load) fused would win; this is a
+    # tunnel-environment tradeoff, not a model property.
+    ("Transformer", {"model": "transformer", "epochs": 30, "fused": 0,
+                     "extra_params": {}}),
     # New family (no reference counterpart): MoE encoder, 4 experts top-2.
-    ("Transformer-MoE", {"model": "transformer_moe", "epochs": 30,
+    ("Transformer-MoE", {"model": "transformer_moe", "epochs": 30, "fused": 0,
                          "extra_params": {}}),
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "fold_parallel": 1,
                 "extra_params": {}}),

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard the MoE expert banks over N devices (transformer_moe)")
     p.add_argument("--fold-parallel", type=int,
                    help="1 = train all CV folds simultaneously as one vmapped program (supervised models)")
+    p.add_argument("--fused", type=int,
+                   help="1 (default) = run a whole training fold (or the whole"
+                        " fold-parallel CV) as ONE XLA dispatch; 0 = per-epoch"
+                        " dispatches (needed for --profile/scan_chunk; also"
+                        " faster for big encoders on remote-tunneled TPUs"
+                        " where executable upload dominates)")
     p.add_argument("--seed", type=int, help="PRNG seed")
     p.add_argument("--log-dir", type=str, help="Override the timestamped log dir")
     p.add_argument("--no-tensorboard", dest="tensorboard", action="store_false", default=None)

@@ -196,12 +196,19 @@ class Engine:
         copies of the features."""
         all_keys = list(self.dataset.videos.keys())
         slot = {k: i for i, k in enumerate(all_keys)}
-        from summarizer_tpu.data.batching import pack_train
+        cached = getattr(self, "_stacked_pack", None)
+        if cached is None:
+            from summarizer_tpu.data.batching import pack_train
 
-        pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
-        feats = jax.device_put(pack.features)
-        targets = jax.device_put(pack.targets)
-        mask = jax.device_put(pack.mask)
+            pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
+            # Fold-invariant: cache so single-fold fused runs (one call per
+            # fold) upload the dataset-wide pack once, not once per fold.
+            cached = self._stacked_pack = (
+                jax.device_put(pack.features),
+                jax.device_put(pack.targets),
+                jax.device_put(pack.mask),
+            )
+        feats, targets, mask = cached
         fold_idx = jnp.asarray(
             np.array(
                 [[slot[k] for k in s["train_keys"]] for s in splits], np.int32
@@ -209,11 +216,16 @@ class Engine:
         )
         return feats, targets, mask, fold_idx, len(all_keys)
 
-    def _stacked_init(self, k_folds: int):
+    def _stacked_init(self, k_folds: int, fold_base: int = 0):
         """Per-fold RNG streams and stacked params with the SAME seeds/keys
-        as the sequential path (PRNGKey(seed + fold) -> split -> init)."""
+        as the sequential path (PRNGKey(seed + fold) -> split -> init).
+        ``fold_base`` offsets the seeds for single-fold fused runs (the
+        sequential path's fold f uses seed + f)."""
         rngs = jnp.stack(
-            [jax.random.PRNGKey(int(self.hps.seed) + f) for f in range(k_folds)]
+            [
+                jax.random.PRNGKey(int(self.hps.seed) + fold_base + f)
+                for f in range(k_folds)
+            ]
         )
         ks = jax.vmap(lambda r: jax.random.split(r))(rngs)
         rngs, k_init = ks[:, 0], ks[:, 1]
@@ -247,7 +259,13 @@ class Engine:
                 for p in packs
             ]
         )
-        eval_multi = jax.jit(jax.vmap(self._device_eval_program()))
+        eval_multi = getattr(self, "_eval_multi", None)
+        if eval_multi is None:
+            # One jit object per engine: repeated calls (single-fold fused
+            # runs once per fold) hit the shape cache instead of re-tracing.
+            eval_multi = self._eval_multi = jax.jit(
+                jax.vmap(self._device_eval_program())
+            )
         return eval_multi, eval_feats, eval_mask, eval_batch
 
     def _stacked_best_update(self, best, params, corr, af1, mf1):

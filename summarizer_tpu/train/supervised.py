@@ -412,10 +412,14 @@ class SupervisedEngine(Engine):
 
     def _train_folds_fused(self, splits, params, opt_state, rngs, feats,
                            targets, mask, fold_idx, optimizer, bs,
-                           eval_multi, eval_feats, eval_mask, eval_batch):
+                           eval_multi, eval_feats, eval_mask, eval_batch,
+                           fold_base: int = 0, state_path: str | None = None):
         """One-dispatch fold-parallel CV (see make_cv_fused).  Per-epoch
         losses and eval metrics come back as stacked arrays and are logged
-        post-hoc, so TensorBoard output is identical to the per-epoch path."""
+        post-hoc, so TensorBoard output is identical to the per-epoch path.
+        ``fold_base``/``state_path`` serve the single-fold sequential mode
+        (train_fold): scalars log under the true fold index and the fold's
+        own checkpoint path is used."""
         hps = self.hps
         k_folds = len(splits)
         n = fold_idx.shape[1]
@@ -424,7 +428,10 @@ class SupervisedEngine(Engine):
 
         import time as _time
 
-        cv = getattr(self, "_cv_program_stacked", None)
+        cache = getattr(self, "_cv_programs", None)
+        if cache is None:
+            cache = self._cv_programs = {}
+        cv = cache.get((k_folds, n))
         if cv is None:
             _t0 = _time.time()
             cv = make_cv_fused(
@@ -435,7 +442,7 @@ class SupervisedEngine(Engine):
                 self._device_eval_program(),
                 epochs=epochs, test_every=test_every, n=n,
             )
-            self._cv_program_stacked = cv
+            cache[(k_folds, n)] = cv
             self.log.debug(f"fused CV build: {_time.time() - _t0:.1f} s")
         self.heartbeat()
         timer = StepTimer("cv_fused")
@@ -454,21 +461,40 @@ class SupervisedEngine(Engine):
         self.heartbeat()
         for epoch in range(epochs):
             for f in range(k_folds):
-                self.scalar(f, "Train", "Loss", float(losses[epoch, f]), epoch)
+                self.scalar(fold_base + f, "Train", "Loss",
+                            float(losses[epoch, f]), epoch)
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{epochs}':6}   Loss: "
                 + "  ".join(f"{float(v):.05f}" for v in losses[epoch])
             )
             if epoch % test_every == 0:
                 for f in range(k_folds):
-                    self.scalar(f, "Test", "Correlation", float(corrs[epoch, f]), epoch)
-                    self.scalar(f, "Test", "F-score_avg", float(af1s[epoch, f]), epoch)
-                    self.scalar(f, "Test", "F-score_max", float(mf1s[epoch, f]), epoch)
+                    self.scalar(fold_base + f, "Test", "Correlation",
+                                float(corrs[epoch, f]), epoch)
+                    self.scalar(fold_base + f, "Test", "F-score_avg",
+                                float(af1s[epoch, f]), epoch)
+                    self.scalar(fold_base + f, "Test", "F-score_max",
+                                float(mf1s[epoch, f]), epoch)
         self.log.info(
             f"fused CV dispatch: {timer.summary()['mean_s']:.1f} s "
             f"({epochs} epochs x {k_folds} folds)"
         )
-        self._stacked_maybe_save(params, opt_state, rngs, {}, epochs, force=True)
+        if state_path is not None:
+            if getattr(hps, "resume", False):
+                from summarizer_tpu.train.resume import TrainState
+
+                self.maybe_save_state(
+                    state_path,
+                    TrainState(
+                        params=jax.tree.map(lambda x: x[0], params),
+                        opt_state=jax.tree.map(lambda x: x[0], opt_state),
+                        epoch=epochs, rng=rngs[0],
+                    ),
+                    force=True,
+                )
+        else:
+            self._stacked_maybe_save(params, opt_state, rngs, {}, epochs,
+                                     force=True)
         _t0 = _time.time()
         best_params = jax.device_get(best_params)
         self.log.debug(f"fused CV best-params pull: {_time.time() - _t0:.1f} s")
@@ -487,8 +513,58 @@ class SupervisedEngine(Engine):
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
 
+    def _fold_fused_ready(self, fold: int) -> bool:
+        """Single-fold fused eligibility: one dispatch replaces the per-epoch
+        loop when nothing needs per-epoch host control — no mesh parallelism
+        (those paths own their sharding/dispatch), device eval, no profiling
+        (the trace wants a representative single epoch), no chunked scans
+        (extra per-chunk keys change the trajectory), and no mid-run resume
+        state (per-epoch checkpoints imply per-epoch dispatch)."""
+        hps = self.hps
+        if not int(getattr(hps, "fused", 1) or 0):
+            return False
+        if any(
+            int(getattr(hps, flag, 0) or 0) > 1
+            for flag in ("data_parallel", "seq_parallel",
+                         "pipeline_parallel", "expert_parallel")
+        ):
+            return False
+        corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
+        if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
+            return False
+        if bool(getattr(hps, "profile", False)):
+            return False
+        if int(self.hp.get("scan_chunk", 0)):
+            return False
+        if getattr(hps, "resume", False) and os.path.exists(self.state_path(fold)):
+            return False
+        return True
+
+    def _train_fold_fused(self, fold: int, split: dict) -> FoldResult:
+        """Sequential fold as ONE dispatch: the stacked machinery with a
+        singleton fold axis and the sequential path's seed (seed + fold), so
+        the trajectory is identical to the per-epoch train_fold loop."""
+        hps = self.hps
+        self.heartbeat()
+        self.draw_gtscores(fold, list(split["train_keys"]))
+        feats, targets, mask, fold_idx, _ = self._stacked_fold_data([split])
+        rngs, params = self._stacked_init(1, fold_base=fold)
+        optimizer = torch_adam(float(hps.lr), float(hps.weight_decay))
+        opt_state = self._stacked_opt_init(optimizer, params, 1)
+        eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
+            [split]
+        )
+        bs = max(1, int(hps.batch_size))
+        return self._train_folds_fused(
+            [split], params, opt_state, rngs, feats, targets, mask, fold_idx,
+            optimizer, bs, eval_multi, eval_feats, eval_mask, eval_batch,
+            fold_base=fold, state_path=self.state_path(fold),
+        )[0]
+
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
+        if self._fold_fused_ready(fold):
+            return self._train_fold_fused(fold, split)
         self.heartbeat()
         train_keys = list(split["train_keys"])
         test_keys = list(split["test_keys"])

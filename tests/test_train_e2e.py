@@ -356,6 +356,26 @@ def test_fused_cv_matches_per_epoch_stacked(tmp_path, synth_h5):
         assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
 
 
+def test_fused_single_fold_matches_per_epoch(tmp_path, synth_h5):
+    """Without --fold_parallel, each sequential fold still fuses into one
+    dispatch (train/supervised.py::_train_fold_fused) using the sequential
+    seed (seed + fold); metrics must match the per-epoch loop."""
+    from summarizer_tpu.train.loop import train
+
+    hps_loop, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64}, lr=1e-3,
+        fused=0, log_dir=str(tmp_path / "sf_loop_logs"),
+    )
+    loop = train(hps_loop)
+    hps_fused, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "vasnet", {"input_size": 64}, lr=1e-3,
+        fused=1, log_dir=str(tmp_path / "sf_fused_logs"),
+    )
+    fused = train(hps_fused)
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
+
+
 def test_fused_cv_rl_matches_per_epoch_stacked(tmp_path, synth_h5):
     """The REINFORCE twin (train/reinforce.py::make_cv_fused_rl) must
     reproduce the per-epoch stacked loop: identical key streams (incl. the
