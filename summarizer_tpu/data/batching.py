@@ -103,6 +103,18 @@ def pack_eval(
         user_summary[i, : r.user_summary.shape[0], :nf] = r.user_summary[:, :nf]
         n_users[i] = nu
 
+    # Average-tie ranks of the (run-constant) annotator scores, computed once
+    # here so the per-eval device program only ranks the machine side
+    # (ops/eval_jax.py::eval_scores_video).  scipy semantics == the device
+    # rankdata_masked (both pinned to scipy in tests/test_ranking.py).
+    from scipy.stats import rankdata
+
+    user_ranks = np.zeros((b, u, f), np.float32)
+    for i, r in enumerate(records):
+        nf = min(r.n_frames, f)
+        for j in range(int(n_users[i])):
+            user_ranks[i, j, :nf] = rankdata(user_scores[i, j, :nf])
+
     batch = EvalBatch(
         positions=positions,
         n_steps=n_steps,
@@ -113,5 +125,6 @@ def pack_eval(
         user_scores=user_scores,
         user_summary=user_summary,
         n_users=n_users,
+        user_ranks=user_ranks,
     )
     return batch, feats

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from summarizer_tpu.ops.ranking import kendall_masked, spearman_masked
+from summarizer_tpu.ops.ranking import (
+    kendall_masked,
+    pearson_masked,
+    rankdata_masked,
+)
 
 
 class EvalBatch(NamedTuple):
@@ -35,6 +39,10 @@ class EvalBatch(NamedTuple):
     user_scores: jnp.ndarray  # (B, U, F) f32 per-annotator frame scores
     user_summary: jnp.ndarray  # (B, U, F) f32 per-annotator binary summaries
     n_users: jnp.ndarray  # (B,) int32
+    user_ranks: jnp.ndarray  # (B, U, F) f32 average-tie ranks of user_scores
+    # over the valid frames — precomputed at pack time because annotations
+    # never change across a run, so each eval ranks only the machine side
+    # (a ~U-fold cut in per-eval sort work; see eval_scores_video).
 
 
 def upsample_step(scores, positions, n_steps, n_frames, out_frames: int):
@@ -53,13 +61,24 @@ def upsample_step(scores, positions, n_steps, n_frames, out_frames: int):
     return jnp.where(valid, scores[jnp.clip(idx, 0, scores.shape[0] - 1)], 0.0)
 
 
-def eval_scores_video(frame_scores, user_scores, n_users, n_frames, metric="spearmanr"):
+def eval_scores_video(frame_scores, user_scores, user_ranks, n_users, n_frames,
+                      metric="spearmanr"):
     """Mean rank correlation of machine frame scores vs each annotator
-    (ref: models/__init__.py:60-86); ``metric``: spearmanr | kendalltau."""
+    (ref: models/__init__.py:60-86); ``metric``: spearmanr | kendalltau.
+
+    Spearman ranks the machine scores ONCE per video and correlates against
+    the pack-time user ranks — ranking both sides per (video, user) pair
+    made U redundant O(F log F) sorts the dominant cost of the eval program.
+    Rank values at masked positions differ between the two rankers, but
+    pearson_masked zeroes them, so the rho is bit-identical to the
+    rank-both-sides form (pinned in tests/test_eval_parity.py)."""
     fmask = np.arange(frame_scores.shape[0]) < n_frames
-    corr_fn = kendall_masked if metric == "kendalltau" else spearman_masked
-    rhos = jax.vmap(lambda u: corr_fn(frame_scores, u, fmask))(user_scores)
     umask = np.arange(user_scores.shape[0]) < n_users
+    if metric == "kendalltau":
+        rhos = jax.vmap(lambda u: kendall_masked(frame_scores, u, fmask))(user_scores)
+    else:
+        machine_ranks = rankdata_masked(frame_scores, fmask)
+        rhos = jax.vmap(lambda ru: pearson_masked(machine_ranks, ru, fmask))(user_ranks)
     return jnp.sum(jnp.where(umask, rhos, 0.0)) / jnp.maximum(n_users, 1)
 
 
@@ -188,9 +207,10 @@ def evaluate_batch(
     exactly as models/__init__.py:84-86 and :117-119 do.
     """
 
-    def one(video_scores, pos, n_steps, n_frames, cps, nfps, n_segs, uscores, usumm, n_users):
+    def one(video_scores, pos, n_steps, n_frames, cps, nfps, n_segs, uscores,
+            usumm, n_users, uranks):
         fs = upsample_step(video_scores, pos, n_steps, n_frames, out_frames)
-        corr = eval_scores_video(fs, uscores, n_users, n_frames, metric)
+        corr = eval_scores_video(fs, uscores, uranks, n_users, n_frames, metric)
 
         seg = segment_means(fs, cps, n_segs)
         limit = jnp.floor(n_frames.astype(jnp.float32) * proportion).astype(jnp.int32)
@@ -216,4 +236,5 @@ def evaluate_batch(
         batch.user_scores,
         batch.user_summary,
         batch.n_users,
+        batch.user_ranks,
     )
