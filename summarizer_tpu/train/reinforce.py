@@ -372,7 +372,8 @@ class ReinforceEngine(Engine):
 
     def _train_folds_fused(self, splits, params, opt_state, baselines, rngs,
                            feats, targets, mask, fold_idx, optimizer,
-                           eval_multi, eval_feats, eval_mask, eval_batch):
+                           eval_multi, eval_feats, eval_mask, eval_batch,
+                           fold_base: int = 0, state_path: str | None = None):
         """One-dispatch fold-parallel REINFORCE CV (see make_cv_fused_rl).
         Reward/loss curves and eval metrics come back stacked and are logged
         post-hoc, identical to the per-epoch path's TensorBoard output."""
@@ -384,14 +385,17 @@ class ReinforceEngine(Engine):
         epochs = int(hps.epochs)
         test_every = int(hps.test_every_epochs)
 
-        cv = getattr(self, "_cv_program_stacked", None)
+        cache = getattr(self, "_cv_programs", None)
+        if cache is None:
+            cache = self._cv_programs = {}
+        cv = cache.get((k_folds, n))
         if cv is None:
             cv = make_cv_fused_rl(
                 self.make_epoch_impl(optimizer),
                 self._device_eval_program(),
                 epochs=epochs, test_every=test_every, n=n,
             )
-            self._cv_program_stacked = cv
+            cache[(k_folds, n)] = cv
         self.heartbeat()
         t0 = _time.time()
         (params, opt_state, baselines, rngs, best_c, best_a, best_m,
@@ -411,21 +415,44 @@ class ReinforceEngine(Engine):
         self.reward_history = [float(r.mean()) for r in rewards]
         for epoch in range(epochs):
             for f in range(k_folds):
-                self.scalar(f, "Train", "Reward", float(rewards[epoch, f]), epoch)
-                self.scalar(f, "Train", "Loss", float(losses[epoch, f]), epoch)
+                self.scalar(fold_base + f, "Train", "Reward",
+                            float(rewards[epoch, f]), epoch)
+                self.scalar(fold_base + f, "Train", "Loss",
+                            float(losses[epoch, f]), epoch)
             self.log.info(
                 f"Epoch: {f'{epoch + 1}/{epochs}':6}   Reward: "
                 + "  ".join(f"{float(v):.05f}" for v in rewards[epoch])
             )
             if epoch % test_every == 0:
                 for f in range(k_folds):
-                    self.scalar(f, "Test", "Correlation", float(corrs[epoch, f]), epoch)
-                    self.scalar(f, "Test", "F-score_avg", float(af1s[epoch, f]), epoch)
-                    self.scalar(f, "Test", "F-score_max", float(mf1s[epoch, f]), epoch)
-        self._stacked_maybe_save(
-            params, opt_state, rngs, {"baselines": baselines}, epochs,
-            force=True,
-        )
+                    self.scalar(fold_base + f, "Test", "Correlation",
+                                float(corrs[epoch, f]), epoch)
+                    self.scalar(fold_base + f, "Test", "F-score_avg",
+                                float(af1s[epoch, f]), epoch)
+                    self.scalar(fold_base + f, "Test", "F-score_max",
+                                float(mf1s[epoch, f]), epoch)
+        if state_path is not None:
+            if getattr(hps, "resume", False):
+                from summarizer_tpu.train.resume import TrainState
+
+                self.maybe_save_state(
+                    state_path,
+                    TrainState(
+                        params=jax.tree.map(lambda x: x[0], params),
+                        opt_state=jax.tree.map(lambda x: x[0], opt_state),
+                        epoch=epochs, rng=rngs[0],
+                        # Global-slot baselines -> the sequential path's
+                        # fold-local (train-key order) layout, so a later
+                        # per-epoch resume loads a matching shape.
+                        extras={"baselines": baselines[0][fold_idx[0]]},
+                    ),
+                    force=True,
+                )
+        else:
+            self._stacked_maybe_save(
+                params, opt_state, rngs, {"baselines": baselines}, epochs,
+                force=True,
+            )
         t0 = _time.time()
         best_params = jax.device_get(best_params)
         self.log.debug(f"fused CV best-params pull: {_time.time() - t0:.1f} s")
@@ -441,8 +468,55 @@ class ReinforceEngine(Engine):
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
 
+    def _fold_fused_ready(self, fold: int, n_train: int) -> bool:
+        """Single-fold fused eligibility (see supervised.py::_fold_fused_ready).
+        The RL extra: the fold must fit one chunk (scan_chunk default 64) —
+        chunked epochs draw extra per-chunk keys, changing the trajectory."""
+        hps = self.hps
+        if not int(getattr(hps, "fused", 1) or 0):
+            return False
+        if int(getattr(hps, "data_parallel", 0) or 0) > 1:
+            return False
+        corr_metric = str(getattr(hps, "correlation_metric", "spearmanr"))
+        if not (bool(hps.eval_device) and corr_metric in ("spearmanr", "kendalltau")):
+            return False
+        if bool(getattr(hps, "profile", False)):
+            return False
+        bs = max(1, int(getattr(hps, "batch_size", 1)))
+        chunk = max(1, min(int(self.hp.get("scan_chunk", 64)), n_train))
+        chunk = max(bs, (chunk // bs) * bs)
+        if chunk < n_train:
+            return False
+        if getattr(hps, "resume", False) and os.path.exists(self.state_path(fold)):
+            return False
+        return True
+
+    def _train_fold_fused(self, fold: int, split: dict) -> FoldResult:
+        """Sequential REINFORCE fold as ONE dispatch (see the supervised
+        twin): stacked machinery, singleton fold axis, sequential seed."""
+        hps = self.hps
+        self.heartbeat()
+        self.draw_gtscores(fold, list(split["train_keys"]))
+        feats, targets, mask, fold_idx, n_all = self._stacked_fold_data([split])
+        rngs, params = self._stacked_init(1, fold_base=fold)
+        optimizer = torch_adam(
+            float(hps.lr), float(hps.weight_decay), clip_norm=5.0
+        )
+        opt_state = self._stacked_opt_init(optimizer, params, 1)
+        baselines = jnp.zeros((1, n_all), jnp.float32)
+        eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
+            [split]
+        )
+        return self._train_folds_fused(
+            [split], params, opt_state, baselines, rngs, feats, targets,
+            mask, fold_idx, optimizer, eval_multi, eval_feats, eval_mask,
+            eval_batch, fold_base=fold, state_path=self.state_path(fold),
+        )[0]
+
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         hps = self.hps
+        if self._fold_fused_ready(fold, len(split["train_keys"])):
+            return self._train_fold_fused(fold, split)
         self.heartbeat()
         train_keys = list(split["train_keys"])
         test_keys = list(split["test_keys"])

@@ -376,6 +376,27 @@ def test_fused_single_fold_matches_per_epoch(tmp_path, synth_h5):
         assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
 
 
+def test_fused_single_fold_rl_matches_per_epoch(tmp_path, synth_h5):
+    """Sequential DSN folds also fuse into one dispatch each
+    (train/reinforce.py::_train_fold_fused); metrics must match the
+    per-epoch loop (identical keys at one chunk per epoch)."""
+    from summarizer_tpu.train.loop import train
+
+    extra = {"input_size": 64, "hidden_size": 16, "num_episodes": 2}
+    hps_loop, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", extra, fused=0,
+        log_dir=str(tmp_path / "rlsf_loop_logs"),
+    )
+    loop = train(hps_loop)
+    hps_fused, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "dsn", extra, fused=1,
+        log_dir=str(tmp_path / "rlsf_fused_logs"),
+    )
+    fused = train(hps_fused)
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(fused[0][i] - loop[0][i]) < 5e-4, (fused, loop)
+
+
 def test_fused_cv_rl_matches_per_epoch_stacked(tmp_path, synth_h5):
     """The REINFORCE twin (train/reinforce.py::make_cv_fused_rl) must
     reproduce the per-epoch stacked loop: identical key streams (incl. the
