@@ -66,22 +66,47 @@ def main(argv):
     from summarizer.utils.config import HParameters
 
     if cfg.get("patch_no_dropout"):
-        # Lockstep mode (scripts/parity_lockstep_vasnet.py): replace the
-        # model's nn.Dropout with Identity AFTER construction, so the torch
-        # RNG stream consists of the per-fold weight inits only (dropout's
-        # per-forward mask draws would otherwise make the stream
-        # epoch-count-dependent and unreplayable).  Identity (not p=0):
-        # torch's dropout still advances the RNG at p=0.
-        import summarizer.models.vasnet as rv
+        # Lockstep mode (scripts/parity_lockstep_{vasnet,transformer}.py):
+        # replace the model's nn.Dropout modules with Identity AFTER
+        # construction, so the torch RNG stream consists of the per-fold
+        # weight inits only (dropout's per-forward mask draws would
+        # otherwise make the stream epoch-count-dependent and
+        # unreplayable).  Identity (not p=0): torch's dropout still
+        # advances the RNG at p=0.
+        if cfg["model"] == "vasnet":
+            import summarizer.models.vasnet as rv
 
-        _orig_init_model = rv.VASNetTrainer._init_model
+            _orig_init_model = rv.VASNetTrainer._init_model
 
-        def _init_model_no_dropout(self):
-            model = _orig_init_model(self)
-            model.dropout = torch.nn.Identity()
-            return model
+            def _init_model_no_dropout(self):
+                model = _orig_init_model(self)
+                model.dropout = torch.nn.Identity()
+                return model
 
-        rv.VASNetTrainer._init_model = _init_model_no_dropout
+            rv.VASNetTrainer._init_model = _init_model_no_dropout
+        elif cfg["model"] == "transformer":
+            # The encoder stack has three dropout sites per layer (module
+            # attrs dropout/dropout1/dropout2) plus MultiheadAttention's
+            # FUNCTIONAL dropout (a float attr, applied only when > 0 —
+            # F.multi_head_attention_forward guards `if dropout_p > 0`),
+            # plus the 0.5 head dropout (transformer.py:46, 101).
+            import summarizer.models.transformer as rt
+
+            _orig_init_model_t = rt.TransformerTrainer._init_model
+
+            def _init_model_no_dropout_t(self):
+                model = _orig_init_model_t(self)
+                model.dropout = torch.nn.Identity()
+                for layer in model.transformer_encoder.layers:
+                    layer.dropout = torch.nn.Identity()
+                    layer.dropout1 = torch.nn.Identity()
+                    layer.dropout2 = torch.nn.Identity()
+                    layer.self_attn.dropout = 0.0
+                return model
+
+            rt.TransformerTrainer._init_model = _init_model_no_dropout_t
+        else:
+            raise ValueError(f"patch_no_dropout: unsupported {cfg['model']}")
 
     cap = None
     if cfg.get("capture_dsn"):

@@ -95,6 +95,45 @@ MODEL_CONFIGS = [
                                      "resume_light": 1}}),
 ]
 
+# Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's
+# splits file resolves to that dataset.  LOL (Twitch, 318 videos, 800-3200
+# feature steps — datasets/README.md:50-74) is 10x the sequence length of
+# TVSum/SumMe, so the recurrent GAN families get reduced budgets, per-group
+# length bucketing (lengths spread 4x, so trimming each group to its own max
+# saves most of the padded weight-streaming), rematerialized phase losses
+# (T=3200 scan residuals exceed HBM), and smaller video groups; the 6-layer
+# transformer gets a reduced budget (its flash path engages automatically at
+# T >= 1024).  Budgets are recorded in the emitted table header.
+DATASET_OVERRIDES = {
+    "LOL": {
+        # "*" applies to every family: at T=3200 the fused fold-parallel
+        # whole-CV program OOMs HBM (5 stacked eval packs + the 4.2 GB
+        # shared train pack + dense-attention temps), so LOL runs take the
+        # classic per-epoch sequential path that the 318-video VASNet_loc
+        # validation used; eval every 4 epochs halves the eval share of
+        # wall-clock at these budgets.
+        "*": {"fold_parallel": 0, "fused": 0, "test_every_epochs": 4},
+        "VASNet": {"epochs": 20},
+        "VASNet_loc": {"epochs": 20},
+        "Transformer": {"epochs": 10},
+        "Transformer-MoE": {"epochs": 10},
+        "vsLSTM": {"epochs": 20},
+        "DSN": {"epochs": 10},
+        "DSN_sup": {"epochs": 10},
+        "SumGAN": {"epochs": 5,
+                   "extra_params": {"batch_size": 5, "pretrain_vae": 4,
+                                    "remat": 1, "bucket": 1, "split_phases": 1}},
+        "SumGAN_sup": {"epochs": 5,
+                       "extra_params": {"batch_size": 5, "pretrain_vae": 4,
+                                        "remat": 1, "bucket": 1,
+                                        "split_phases": 1}},
+        "SumGAN-att": {"epochs": 5,
+                       "extra_params": {"batch_size": 5, "pretrain_ae": 8,
+                                        "remat": 1, "bucket": 1,
+                                        "split_phases": 1}},
+    },
+}
+
 
 def benchmark_model(name: str, args: dict):
     logging.info(f"Train {name} model...")
@@ -171,8 +210,24 @@ def main(argv=None):
                         help="Run configs in this process (no crash isolation)")
     args, _ = parser.parse_known_args(argv)
 
-    def run_args_for(cfg):
+    def run_args_for(cfg, name=None):
         run_args = dict(cfg)
+        run_args["extra_params"] = dict(run_args.get("extra_params", {}))
+        # Dataset-specific overrides (child mode only passes one splits file;
+        # parent subprocess dispatch hands each file to its own child, so a
+        # multi-file -s at the top level still picks the right overrides).
+        from summarizer_tpu.data.splits import parse_splits_filename
+
+        ds_names = {parse_splits_filename(sf)[0]
+                    for sf in args.splits_files.split(",")}
+        if name is not None and len(ds_names) == 1:
+            per_ds = DATASET_OVERRIDES.get(next(iter(ds_names)), {})
+            for ov in (per_ds.get("*", {}), per_ds.get(name, {})):
+                for k, v in ov.items():
+                    if k == "extra_params":
+                        run_args["extra_params"].update(v)
+                    else:
+                        run_args[k] = v
         run_args["epochs"] = min(run_args["epochs"], args.max_epochs)
         run_args["splits_files"] = args.splits_files
         run_args["log_level"] = "error"
@@ -189,7 +244,7 @@ def main(argv=None):
         import re
 
         cfg = dict(dict(MODEL_CONFIGS)[args.one])
-        ra = run_args_for(cfg)
+        ra = run_args_for(cfg, args.one)
         slug = re.sub(r"[^A-Za-z0-9]+", "_", args.one).lower()
         ra["log_dir"] = os.path.join("logs", f"bench_{slug}")
         ra["resume"] = True
@@ -209,7 +264,7 @@ def main(argv=None):
         if wanted is not None and cfg["model"] not in wanted and name not in wanted:
             continue
         if args.in_process:
-            rows += benchmark_model(name, run_args_for(cfg))
+            rows += benchmark_model(name, run_args_for(cfg, name))
             continue
         # Each (family, splits file) runs in its own subprocess: a remote-TPU
         # worker crash poisons the in-process JAX backend beyond recovery, so
