@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from summarizer_tpu.data.batching import pack_train
 from summarizer_tpu.models import sumgan as sg
 from summarizer_tpu.models import sumgan_att as sga
 from summarizer_tpu.train.engine import Engine, FoldResult
@@ -160,15 +159,16 @@ class _AdversarialBase(Engine):
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
 
-        pack = pack_train(self.dataset.subset(train_keys), t_max=self.t_max)
-        feats = jax.device_put(pack.features)
-        targets = jax.device_put(pack.targets)
-        mask = jax.device_put(pack.mask)
-        #: host-side true lengths, for length-bucketed group padding in the
-        #: split-phase path (weight streaming of the recurrences scales with
-        #: the padded T, so trimming groups to their own max saves both time
-        #: and residual memory).
-        self._host_lengths = pack.mask.sum(-1).astype(int)
+        # Dataset-wide pack shared across folds (one upload per process);
+        # the fold's local permutation composes with its global slots.
+        feats, targets, mask, slots = self._shared_train_view(train_keys)
+        slots_np = np.asarray(slots)
+        #: host-side true lengths indexed by GLOBAL slot (sel indices are
+        #: global now), for length-bucketed group padding in the split-phase
+        #: path (weight streaming of the recurrences scales with the padded
+        #: T, so trimming groups to their own max saves both time and
+        #: residual memory).
+        self._host_lengths = self._full_lengths
 
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
@@ -184,6 +184,7 @@ class _AdversarialBase(Engine):
             # trained) params — re-running the multi-minute VAE/AE pretrain
             # on a crash-retry would only throw its wall-clock away.
             rng, k_pre = jax.random.split(rng)
+            self._pretrain_slots = slots_np
             params = self.pretrain(params, feats, targets, mask, cfg, k_pre)
 
         # Optimizers (masks depend only on tree structure) and the 3-phase
@@ -230,15 +231,16 @@ class _AdversarialBase(Engine):
         bucketed = bool(int(self.hp.get("bucket", bs >= 24)))
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
-            perm = jax.random.permutation(k_perm, n)
+            # Same permutation draw as the per-fold-pack path, composed with
+            # the fold's global slots (sel indices gather the shared pack).
+            perm = slots_np[np.asarray(jax.random.permutation(k_perm, n))]
             if bucketed:
                 # Stable-sort the shuffled order by length bucket (128-step
                 # granularity): same-bucket videos stay shuffled, groups end
                 # up length-homogeneous, and each group's pad is its own max.
-                p = np.asarray(perm)
-                bucket_ids = (self._host_lengths[p] + 127) // 128
-                perm = jnp.asarray(p[np.argsort(bucket_ids, kind="stable")])
-            groups = perm[: (n // bs) * bs].reshape(-1, bs)
+                bucket_ids = (self._host_lengths[perm] + 127) // 128
+                perm = perm[np.argsort(bucket_ids, kind="stable")]
+            groups = jnp.asarray(perm[: (n // bs) * bs].reshape(-1, bs))
             acc, count = None, 0
             for sel in _perm_chunks(groups, chunk):
                 k_ep, k_c = jax.random.split(k_ep)
@@ -331,11 +333,19 @@ class _AdversarialBase(Engine):
         opt, pre_chunk = cache[tag]
         opt_state = opt.init(params)
 
-        n = feats.shape[0]
+        # Pretrain only this fold's train videos: ``feats`` is the shared
+        # dataset-wide pack, so the permutation runs over the fold's global
+        # slots (set by train_fold just before calling pretrain).
+        slots = getattr(self, "_pretrain_slots", None)
+        if slots is None:
+            slots = np.arange(feats.shape[0], dtype=np.int32)
+        n = len(slots)
         bs, chunk = self._sizes(n)
         for epoch in range(cfg["pretrain_epochs"]):
             rng, k_perm, k_ep = jax.random.split(rng, 3)
-            perm = jax.random.permutation(k_perm, n)
+            perm = jnp.asarray(
+                slots[np.asarray(jax.random.permutation(k_perm, n))]
+            )
             groups = perm[: (n // bs) * bs].reshape(-1, bs)
             total, count = 0.0, 0
             for sel in _perm_chunks(groups, chunk):

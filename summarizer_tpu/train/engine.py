@@ -113,7 +113,18 @@ class Engine:
         s, g, u, f, cap = self.eval_dims
         batch, feats = pack_eval(records, s, g, u, f)
         batch = jax.device_put(batch)
-        feats = jax.device_put(feats)
+        # If the dataset-wide train pack is already resident on device
+        # (sequential/fused training uploaded it), gather the test videos
+        # from it instead of re-uploading them: at LOL scale each fold's
+        # eval features are ~830 MB of tunnel traffic otherwise.
+        shared = getattr(self, "_stacked_pack", None)
+        if shared is not None and all(k in self._slot for k in keys):
+            slots = jnp.asarray(
+                np.array([self._slot[k] for k in keys], np.int32)
+            )
+            feats = jax.jit(lambda a, i: a[i, :s])(shared[0], slots)
+        else:
+            feats = jax.device_put(feats)
         mask = (np.arange(s)[None, :] < np.asarray(batch.n_steps)[:, None]).astype(
             np.float32
         )
@@ -189,32 +200,54 @@ class Engine:
             return False
         return True
 
-    def _stacked_fold_data(self, splits):
-        """One dataset-wide train pack shared by every fold, plus the
-        (k_folds, n_train) matrix of global video slots each fold trains on —
-        per-fold permutations index this shared pack instead of carrying k
-        copies of the features."""
-        all_keys = list(self.dataset.videos.keys())
-        slot = {k: i for i, k in enumerate(all_keys)}
+    def _full_train_pack(self):
+        """Dataset-wide device train pack, uploaded once per engine (cached).
+
+        Folds index it on device — every epoch program already gathers
+        ``feats[sel]`` inside the traced computation — so a K-fold CV moves
+        the features host->device once instead of K times.  Through the
+        tunneled TPU link (~20 MB/s) the per-fold re-upload is a material
+        share of small-model wall-clock, and at LOL-318 scale it is ~3.3 GB
+        PER FOLD; it also skips rebuilding the padded host pack (a multi-GB
+        memcpy) per fold."""
         cached = getattr(self, "_stacked_pack", None)
         if cached is None:
             from summarizer_tpu.data.batching import pack_train
 
+            all_keys = list(self.dataset.videos.keys())
             pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
-            # Fold-invariant: cache so single-fold fused runs (one call per
-            # fold) upload the dataset-wide pack once, not once per fold.
             cached = self._stacked_pack = (
                 jax.device_put(pack.features),
                 jax.device_put(pack.targets),
                 jax.device_put(pack.mask),
             )
-        feats, targets, mask = cached
+            self._full_lengths = pack.mask.sum(-1).astype(int)
+            self._slot = {k: i for i, k in enumerate(all_keys)}
+        return cached
+
+    def _shared_train_view(self, train_keys):
+        """(feats, targets, mask, slots): the shared dataset-wide pack plus
+        this fold's global video slots.  Composing the fold's local
+        permutation with ``slots`` reproduces the per-fold-pack training
+        order exactly (same videos, same data, same RNG draws) — only the
+        gather indices change."""
+        feats, targets, mask = self._full_train_pack()
+        slots = np.array([self._slot[k] for k in train_keys], np.int32)
+        return feats, targets, mask, slots
+
+    def _stacked_fold_data(self, splits):
+        """One dataset-wide train pack shared by every fold, plus the
+        (k_folds, n_train) matrix of global video slots each fold trains on —
+        per-fold permutations index this shared pack instead of carrying k
+        copies of the features."""
+        feats, targets, mask = self._full_train_pack()
         fold_idx = jnp.asarray(
             np.array(
-                [[slot[k] for k in s["train_keys"]] for s in splits], np.int32
+                [[self._slot[k] for k in s["train_keys"]] for s in splits],
+                np.int32,
             )
         )
-        return feats, targets, mask, fold_idx, len(all_keys)
+        return feats, targets, mask, fold_idx, len(self.dataset.videos)
 
     def _stacked_init(self, k_folds: int, fold_base: int = 0):
         """Per-fold RNG streams and stacked params with the SAME seeds/keys

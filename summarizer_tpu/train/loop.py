@@ -11,6 +11,7 @@ import os
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from summarizer_tpu.data.hdf5 import SummarizerDataset
@@ -64,12 +65,24 @@ def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
     with h5py.File(pred_path, "w") as f:
         g = f.create_group(os.path.basename(dataset.path))
         rng = jax.random.PRNGKey(int(hps.seed))
+        # Reuse the dataset-wide device pack when training already uploaded
+        # it (engine._full_train_pack): prediction then gathers on device
+        # instead of re-sending every video through the tunnel.
+        shared = getattr(engine, "_stacked_pack", None)
+        slot = getattr(engine, "_slot", {})
         for lo in range(0, len(keys), chunk):
             batch_keys = keys[lo : lo + chunk]
             records = dataset.subset(batch_keys)
-            feats = np.zeros((chunk, s, d), np.float32)
-            for i, r in enumerate(records):
-                feats[i, : r.n_steps] = r.features
+            if shared is not None and all(k in slot for k in batch_keys):
+                idx = np.full(chunk, slot[batch_keys[0]], np.int32)
+                idx[: len(batch_keys)] = [slot[k] for k in batch_keys]
+                feats = jax.jit(lambda a, i: a[i, :s])(
+                    shared[0], jnp.asarray(idx)
+                )
+            else:
+                feats = np.zeros((chunk, s, d), np.float32)
+                for i, r in enumerate(records):
+                    feats[i, : r.n_steps] = r.features
             lens = np.zeros(chunk, np.int64)
             lens[: len(records)] = [r.n_steps for r in records]
             mask = (np.arange(s)[None, :] < lens[:, None]).astype(np.float32)

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from summarizer_tpu.data.batching import pack_train
 from summarizer_tpu.train.engine import Engine, FoldResult
 from summarizer_tpu.train.optim import torch_adam
 
@@ -522,11 +521,13 @@ class ReinforceEngine(Engine):
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
 
-        pack = pack_train(self.dataset.subset(train_keys), t_max=self.t_max)
-        feats = jax.device_put(pack.features)
-        targets = jax.device_put(pack.targets)
-        mask = jax.device_put(pack.mask)
-        baselines = jnp.zeros(len(train_keys), jnp.float32)
+        # Dataset-wide pack shared across folds (one upload per process);
+        # the fold's local permutation composes with its global slots.
+        # Baselines span ALL global slots — the fold only ever touches its
+        # own videos' entries, so the EMA schedule is unchanged.
+        feats, targets, mask, slots = self._shared_train_view(train_keys)
+        slots_dev = jnp.asarray(slots)
+        baselines = jnp.zeros(feats.shape[0], jnp.float32)
 
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
@@ -576,7 +577,9 @@ class ReinforceEngine(Engine):
         chunk = max(bs, (chunk // bs) * bs)
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
-            perm = jax.random.permutation(k_perm, n)
+            # Same permutation draw as the per-fold-pack path; composing
+            # with the global slots only changes the gather indices.
+            perm = slots_dev[jax.random.permutation(k_perm, n)]
             losses, rewards = [], []
             for lo in range(0, n, chunk):
                 sel = perm[lo : lo + chunk]

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from summarizer_tpu.data.batching import pack_train
 from summarizer_tpu.train.engine import Engine, FoldResult
 from summarizer_tpu.train.optim import torch_adam
 from summarizer_tpu.utils.profiling import StepTimer, trace
@@ -570,11 +569,10 @@ class SupervisedEngine(Engine):
         test_keys = list(split["test_keys"])
         self.draw_gtscores(fold, train_keys)
 
-        records = self.dataset.subset(train_keys)
-        pack = pack_train(records, t_max=self.t_max)
-        feats = jax.device_put(pack.features)
-        targets = jax.device_put(pack.targets)
-        mask = jax.device_put(pack.mask)
+        # Dataset-wide pack shared across folds (one upload per process);
+        # the fold's local permutation composes with its global slots.
+        feats, targets, mask, slots = self._shared_train_view(train_keys)
+        slots_dev = jnp.asarray(slots)
 
         rng = jax.random.PRNGKey(int(hps.seed) + fold)
         rng, k_init = jax.random.split(rng)
@@ -626,11 +624,13 @@ class SupervisedEngine(Engine):
             self.heartbeat()
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
-        n = len(records)
+        n = len(train_keys)
         timer = StepTimer("epoch")
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
-            perm = jax.random.permutation(k_perm, n)
+            # Same permutation draw as the per-fold-pack path; composing
+            # with the global slots only changes the gather indices.
+            perm = slots_dev[jax.random.permutation(k_perm, n)]
             profiling = bool(getattr(hps, "profile", False)) and epoch == start_epoch
             ctx = (
                 trace(os.path.join(hps.log_path, "profile"))
