@@ -79,6 +79,11 @@ def main():
     for path in sys.argv[1:]:
         for r in parse_table(path):
             add(r)
+    # Finally, rows already in the committed repo table (a fresh VM loses
+    # /tmp logs and logs/; fresher sources above win on duplicates).
+    if os.path.exists("BENCHMARK_TABLE.txt"):
+        for r in parse_table("BENCHMARK_TABLE.txt"):
+            add(r)
 
     order = ["Random", "Logistic Regression", "VASNet", "VASNet_loc",
              "Transformer", "vsLSTM", "DSN", "DSN_sup", "SumGAN",
@@ -88,9 +93,12 @@ def main():
     table = pd.DataFrame(rows, columns=["Model", "File", "Correlation",
                                         "Avg F-score", "Max F-score",
                                         "Wall (s/file)", "Logs"])
-    header = (_provenance("splits/tvsum_splits.json,splits/summe_splits.json")
+    files = sorted({r[1] for r in rows})
+    header = (_provenance(",".join(files))
               + "\nBudgets: per-family best-known epochs "
-              "(cli/benchmark.py MODEL_CONFIGS; reference benchmark.py:30-43)")
+              "(cli/benchmark.py MODEL_CONFIGS; reference benchmark.py:30-43;"
+              "\nLOL rows at the reduced DATASET_OVERRIDES budgets — "
+              "column 6 is wall seconds per splits file)")
     out = header + "\n" + tabulate(table, headers="keys", tablefmt="psql",
                                    showindex=False)
     with open("BENCHMARK_TABLE.txt", "w") as f:

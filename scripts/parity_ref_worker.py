@@ -109,6 +109,62 @@ def main(argv):
             raise ValueError(f"patch_no_dropout: unsupported {cfg['model']}")
 
     cap = None
+    if cfg.get("capture_sumgan"):
+        # Lockstep capture mode (scripts/parity_lockstep_sumgan.py): record
+        # the reference SumGAN trainer's complete stochastic trajectory —
+        # per-fold initial weights, every shuffle order (pretrain AND train
+        # epochs, in call order), and every torch RNG tensor draw in call
+        # order: the VAE reparameterization eps (sumgan.py:134
+        # torch.randn_like), the uniform-score branch (sumgan.py:177
+        # torch.rand), and the discriminator input noise (sumgan.py:466-468
+        # torch.randn_like).  The replay side injects these exact tensors,
+        # so any residual metric delta is pure float accumulation.
+        import summarizer.models.sumgan as rs
+
+        cap = {"inits": [], "orders": [], "draws": []}
+
+        _orig_randn_like = torch.randn_like
+        _orig_rand = torch.rand
+
+        def rec_randn_like(t, *a, **kw):
+            out = _orig_randn_like(t, *a, **kw)
+            cap["draws"].append(out.detach().cpu().numpy().copy())
+            return out
+
+        def rec_rand(*a, **kw):
+            out = _orig_rand(*a, **kw)
+            cap["draws"].append(out.detach().cpu().numpy().copy())
+            return out
+
+        # sumgan.py calls these as attributes of its imported ``torch``
+        # module; patch the global torch namespace (nothing else draws via
+        # torch.rand/randn_like during a sumgan run — LSTM/Linear inits use
+        # in-place uniform_, and eval/predict are draw-free selectors).
+        torch.randn_like = rec_randn_like
+        torch.rand = rec_rand
+
+        class RecordingRandomS:
+            def __getattr__(self_, name):
+                return getattr(random, name)
+
+            def shuffle(self_, lst):
+                random.shuffle(lst)
+                cap["orders"].append(list(lst))
+
+        rs.random = RecordingRandomS()
+
+        _orig_init_model_s = rs.SumGANTrainer._init_model
+
+        def _recording_init_model_s(self_):
+            model = _orig_init_model_s(self_)
+            cap["inits"].append(
+                {k: v.detach().cpu().numpy().copy()
+                 for k, v in model.state_dict().items()}
+            )
+            return model
+
+        rs.SumGANTrainer._init_model = _recording_init_model_s
+
     if cfg.get("capture_dsn"):
         # Lockstep capture mode (scripts/parity_lockstep_dsn.py): record the
         # reference DSN trainer's complete stochastic trajectory — per-fold
@@ -193,14 +249,16 @@ def main(argv):
     if cap is not None:
         import pickle
 
-        with open(cfg["capture_dsn"], "wb") as f:
+        cap_path = cfg.get("capture_dsn") or cfg.get("capture_sumgan")
+        with open(cap_path, "wb") as f:
             pickle.dump(
                 {"cap": cap, "cfg": cfg, "result": out},
                 f, protocol=pickle.HIGHEST_PROTOCOL,
             )
-        print(f"CAPTURE {cfg['capture_dsn']} "
-              f"inits={len(cap['inits'])} orders={len(cap['orders'])} "
-              f"actions={len(cap['actions'])}", flush=True)
+        counts = " ".join(
+            f"{k}={len(v)}" for k, v in cap.items() if isinstance(v, list)
+        )
+        print(f"CAPTURE {cap_path} {counts}", flush=True)
 
     print("PARITY_RESULT " + json.dumps(out), flush=True)
     hps.writer.close()
