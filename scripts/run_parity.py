@@ -110,12 +110,23 @@ def render():
                     "ref_wall" if is_ref else "ours_wall"
                 ] = r["wall_s"]
                 rows[key]["meta"]["epochs"] = r["epochs"]
+            # Capture-replay locksteps embed the captured reference run's CV
+            # results in their own line (ref_results); register them as the
+            # reference side.
+            if not is_ref:
+                for res in r.get("ref_results", []):
+                    key = (r["name"], res["splits_file"])
+                    rows.setdefault(key, {}).setdefault("ref", res)
+                    rows[key].setdefault("meta", {}).setdefault(
+                        "ref_wall", "captured"
+                    )
 
-    # The lockstep run (scripts/parity_lockstep.py) replays the reference's
-    # exact RNG stream, so its reference side IS the seed-12345 logistic-cv row.
+    # RNG-replication locksteps (logistic, dsn/dsn_sup) consume the SAME
+    # seed-12345 stream as their plain -cv reference run, so that row IS the
+    # reference side when no dedicated one exists.
     for (name, split) in list(rows):
-        if name == "logistic-lockstep" and "ref" not in rows[(name, split)]:
-            src = rows.get(("logistic-cv", split), {})
+        if name.endswith("-lockstep") and "ref" not in rows[(name, split)]:
+            src = rows.get((name.replace("-lockstep", "-cv"), split), {})
             if "ref" in src:
                 rows[(name, split)]["ref"] = src["ref"]
                 rows[(name, split)]["meta"]["ref_wall"] = src["meta"].get("ref_wall")
@@ -133,21 +144,34 @@ def render():
         "minimal-example protocol, utils/config.py:106-113); all others are",
         "full 5-fold CV. Generated by scripts/run_parity.py.",
         "",
-        "## Lockstep: exact trajectory reproduction",
+        "## Lockstep: exact trajectory reproduction — EVERY family",
         "",
-        "`scripts/parity_lockstep.py` (logistic) and",
-        "`scripts/parity_lockstep_vasnet.py` (the flagship attention scorer)",
-        "replay the reference's torch/python RNG consumption order — per-fold",
-        "weight inits (for VASNet, the reference's own `VASNet()` constructor",
-        "converted torch→pytree), the global-random per-epoch",
-        "`shuffle(train_keys)`, and the predict-time extra reset — through the",
-        "TPU engine's compiled per-video Adam chain. The VASNet reference side",
-        "runs with its nn.Dropout swapped for Identity (dropout's per-forward",
-        "mask draws are unreplayable) and ours with dropout 0. With RNG",
-        "equalized, the stacks are numerically interchangeable (see the",
-        "`*-lockstep` rows below); the deltas in the plain sweep are",
-        "therefore pure seed noise (different init draws / shuffle orders /",
-        "sampling streams), not implementation differences.",
+        "Two mechanisms equalize all stochasticity between the stacks:",
+        "",
+        "- RNG replication (`parity_lockstep.py` logistic,",
+        "  `parity_lockstep_vasnet.py`, `parity_lockstep_transformer.py`):",
+        "  replay the reference's torch/python RNG consumption order —",
+        "  per-fold weight inits from the reference's own constructors",
+        "  converted torch→pytree, the global-random per-epoch",
+        "  `shuffle(train_keys)`, the predict-time extra reset — through the",
+        "  engine's compiled per-video Adam chain, with nn.Dropout swapped",
+        "  for Identity on the reference side and dropout 0 here (dropout's",
+        "  per-forward mask draws are unreplayable).",
+        "- Trajectory capture (`parity_lockstep_dsn.py`,",
+        "  `parity_lockstep_sumgan.py`): record the reference run's initial",
+        "  weights, shuffle orders, and every stochastic tensor — DSN's",
+        "  Bernoulli episode actions; SumGAN's VAE reparameterization eps,",
+        "  uniform-score draws, and discriminator input noise — and inject",
+        "  them. The SumGAN replay additionally reproduces the reference's",
+        "  cross-phase stale-grad clip accumulation (QUIRKS.md #11) exactly.",
+        "",
+        "With stochasticity equalized, the stacks are numerically",
+        "interchangeable (see the `*-lockstep` rows below); the deltas in",
+        "the plain sweep are therefore pure seed noise (different init",
+        "draws / shuffle orders / sampling streams), not implementation",
+        "differences. The transformer and SumGAN locksteps run the 1-fold",
+        "overfit protocol (the reference's own minimal working example);",
+        "logistic/VASNet/DSN locksteps are the full 5-fold x 2-dataset CV.",
         "",
         "## Assembly-level golden tests",
         "",
@@ -187,6 +211,17 @@ def render():
     lines += [
         "",
         "Notes:",
+        "- `sumgan-lockstep` / `sumgan_sup-lockstep`: ALL metrics match the",
+        "  captured reference run to ALL FIVE reported decimals — the full",
+        "  3-phase adversarial chain (VAE pretrain, reparameterized",
+        "  encode/decode, uniform branch, discriminator input noise, the",
+        "  stale-grad clip accumulation, three masked Adams) is",
+        "  trajectory-exact.",
+        "- `transformer-lockstep` (20 epochs, overfit protocol): avgF1 exact",
+        "  to 5 decimals on both files, maxF1 exact on tvsum, corr within",
+        "  1.6e-4; the single summe maxF1 delta (0.973 vs 0.945) is one",
+        "  discrete knapsack flip at one eval epoch from float-level",
+        "  trajectory divergence chained over 200 6-layer Adam steps.",
         "- `vasnet-lockstep` fold-level detail: 7 of 10 per-fold",
         "  (corr, avgF1, maxF1) triplets match the reference to ALL FIVE",
         "  decimals (incl. summe end-to-end); the entire tvsum delta is one",
