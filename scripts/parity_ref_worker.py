@@ -165,6 +165,70 @@ def main(argv):
 
         rs.SumGANTrainer._init_model = _recording_init_model_s
 
+    if cfg.get("capture_sumgan_att"):
+        # SumGAN-att lockstep capture (scripts/parity_lockstep_sumgan_att.py):
+        # the AE is deterministic (no VAE), so the only tensor draws are the
+        # uniform-score branch (sumgan_att.py:113 torch.rand) and the
+        # discriminator input noise (sumgan_att.py:342-344 randn_like).
+        # Dropout in the selector/AE transformer layers is swapped for
+        # Identity (and MHA functional dropout zeroed) so the torch RNG
+        # stream is draw-free outside the captured sites.
+        import summarizer.models.sumgan_att as ra
+
+        cap = {"inits": [], "orders": [], "draws": []}
+
+        _orig_randn_like_a = torch.randn_like
+        _orig_rand_a = torch.rand
+
+        def rec_randn_like_a(t, *a, **kw):
+            out = _orig_randn_like_a(t, *a, **kw)
+            cap["draws"].append(out.detach().cpu().numpy().copy())
+            return out
+
+        def rec_rand_a(*a, **kw):
+            out = _orig_rand_a(*a, **kw)
+            cap["draws"].append(out.detach().cpu().numpy().copy())
+            return out
+
+        torch.randn_like = rec_randn_like_a
+        torch.rand = rec_rand_a
+
+        class RecordingRandomA:
+            def __getattr__(self_, name):
+                return getattr(random, name)
+
+            def shuffle(self_, lst):
+                random.shuffle(lst)
+                cap["orders"].append(list(lst))
+
+        ra.random = RecordingRandomA()
+
+        def _strip_dropout(layer):
+            for attr in ("dropout", "dropout1", "dropout2", "dropout3"):
+                if hasattr(layer, attr):
+                    setattr(layer, attr, torch.nn.Identity())
+            for attr in ("self_attn", "multihead_attn"):
+                if hasattr(layer, attr):
+                    getattr(layer, attr).dropout = 0.0
+
+        _orig_init_model_a = ra.SumGANAttTrainer._init_model
+
+        def _recording_init_model_a(self_):
+            model = _orig_init_model_a(self_)
+            for layer in model.summarizer.selector.transformer_encoder.layers:
+                _strip_dropout(layer)
+            for layer in model.summarizer.ae.transformer_encoder.layers:
+                _strip_dropout(layer)
+            for layer in model.summarizer.ae.transformer_decoder.layers:
+                _strip_dropout(layer)
+            cap["inits"].append(
+                {k: v.detach().cpu().numpy().copy()
+                 for k, v in model.state_dict().items()}
+            )
+            return model
+
+        ra.SumGANAttTrainer._init_model = _recording_init_model_a
+
     if cfg.get("capture_dsn"):
         # Lockstep capture mode (scripts/parity_lockstep_dsn.py): record the
         # reference DSN trainer's complete stochastic trajectory — per-fold
@@ -249,7 +313,8 @@ def main(argv):
     if cap is not None:
         import pickle
 
-        cap_path = cfg.get("capture_dsn") or cfg.get("capture_sumgan")
+        cap_path = (cfg.get("capture_dsn") or cfg.get("capture_sumgan")
+                    or cfg.get("capture_sumgan_att"))
         with open(cap_path, "wb") as f:
             pickle.dump(
                 {"cap": cap, "cfg": cfg, "result": out},

@@ -158,12 +158,13 @@ def render():
         "  for Identity on the reference side and dropout 0 here (dropout's",
         "  per-forward mask draws are unreplayable).",
         "- Trajectory capture (`parity_lockstep_dsn.py`,",
-        "  `parity_lockstep_sumgan.py`): record the reference run's initial",
-        "  weights, shuffle orders, and every stochastic tensor — DSN's",
-        "  Bernoulli episode actions; SumGAN's VAE reparameterization eps,",
-        "  uniform-score draws, and discriminator input noise — and inject",
-        "  them. The SumGAN replay additionally reproduces the reference's",
-        "  cross-phase stale-grad clip accumulation (QUIRKS.md #11) exactly.",
+        "  `parity_lockstep_sumgan.py`, `parity_lockstep_sumgan_att.py`):",
+        "  record the reference run's initial weights, shuffle orders, and",
+        "  every stochastic tensor — DSN's Bernoulli episode actions; the",
+        "  GANs' VAE reparameterization eps, uniform-score draws, and",
+        "  discriminator input noise — and inject them. The GAN replays",
+        "  additionally reproduce the reference's cross-phase stale-grad",
+        "  clip accumulation (QUIRKS.md #11) exactly.",
         "",
         "With stochasticity equalized, the stacks are numerically",
         "interchangeable (see the `*-lockstep` rows below); the deltas in",
@@ -217,6 +218,9 @@ def render():
         "  encode/decode, uniform branch, discriminator input noise, the",
         "  stale-grad clip accumulation, three masked Adams) is",
         "  trajectory-exact.",
+        "- `sumgan_att-lockstep` (WGAN, transformer selector + enc-dec AE,",
+        "  AE pretrain at lr*10): both F1 columns exact to five decimals,",
+        "  corr within 5e-5 (0.62859 vs 0.62864).",
         "- `transformer-lockstep` (20 epochs, overfit protocol): avgF1 exact",
         "  to 5 decimals on both files, maxF1 exact on tvsum, corr within",
         "  1.6e-4; the single summe maxF1 delta (0.973 vs 0.945) is one",
