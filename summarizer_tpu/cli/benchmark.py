@@ -120,15 +120,20 @@ DATASET_OVERRIDES = {
         "vsLSTM": {"epochs": 20},
         "DSN": {"epochs": 10},
         "DSN_sup": {"epochs": 10},
-        "SumGAN": {"epochs": 5,
-                   "extra_params": {"batch_size": 5, "pretrain_vae": 4,
+        # GAN budgets sized from a measured probe: the 2048-wide recurrent
+        # VAE streams its weights per timestep, so LOL's mean T~2000 costs
+        # ~7x a TVSum epoch; batch 10 halves the per-video streaming vs 5
+        # and ~3 epochs + 2 pretrain keeps a family's 5-fold CV near an
+        # hour on one chip.
+        "SumGAN": {"epochs": 3,
+                   "extra_params": {"batch_size": 10, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1}},
-        "SumGAN_sup": {"epochs": 5,
-                       "extra_params": {"batch_size": 5, "pretrain_vae": 4,
+        "SumGAN_sup": {"epochs": 3,
+                       "extra_params": {"batch_size": 10, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1}},
-        "SumGAN-att": {"epochs": 5,
-                       "extra_params": {"batch_size": 5, "pretrain_ae": 8,
+        "SumGAN-att": {"epochs": 3,
+                       "extra_params": {"batch_size": 10, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1}},
     },
