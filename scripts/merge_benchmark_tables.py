@@ -86,8 +86,8 @@ def main():
             add(r)
 
     order = ["Random", "Logistic Regression", "VASNet", "VASNet_loc",
-             "Transformer", "vsLSTM", "DSN", "DSN_sup", "SumGAN",
-             "SumGAN_sup", "SumGAN-att"]
+             "Transformer", "Transformer-MoE", "vsLSTM", "DSN", "DSN_sup",
+             "SumGAN", "SumGAN_sup", "SumGAN-att"]
     rows.sort(key=lambda r: (order.index(r[0]) if r[0] in order else 99, r[1]))
 
     table = pd.DataFrame(rows, columns=["Model", "File", "Correlation",
