@@ -552,3 +552,34 @@ def test_expert_parallel_rejects_dense_models(tmp_path, synth_h5):
             tmp_path, synth_h5, "transformer", {"input_size": 64},
             epochs=1, expert_parallel=8,
         )
+
+
+def test_shared_train_view_uploads_once(tmp_path, synth_h5):
+    """The sequential fold paths gather from ONE dataset-wide device pack
+    (engine._full_train_pack) instead of re-packing per fold: a k-fold run
+    must call pack_train exactly once, and the fold's global slots must map
+    back to its train keys in order."""
+    from unittest import mock
+
+    from summarizer_tpu.data import batching
+    from summarizer_tpu.data.hdf5 import SummarizerDataset
+    from summarizer_tpu.train.loop import make_engine
+
+    hps, sp = _mk_kfold_hps(
+        tmp_path, synth_h5, "logistic", {"input_size": 64}, fused=0,
+        log_dir=str(tmp_path / "shared_view_logs"),
+    )
+    dataset = SummarizerDataset(hps.dataset_of_file[sp])
+    engine = make_engine(hps, dataset, hps.dataset_name_of_file[sp])
+    all_keys = list(dataset.videos.keys())
+
+    with mock.patch.object(
+        batching, "pack_train", wraps=batching.pack_train
+    ) as spy:
+        for split in hps.splits_of_file[sp]:
+            feats, targets, mask, slots = engine._shared_train_view(
+                list(split["train_keys"])
+            )
+            assert feats.shape[0] == len(all_keys)
+            assert [all_keys[i] for i in slots] == list(split["train_keys"])
+        assert spy.call_count == 1  # one upload for ALL folds
