@@ -125,14 +125,14 @@ DATASET_OVERRIDES = {
         # ~7x a TVSum epoch; batch 10 halves the per-video streaming vs 5
         # and ~3 epochs + 2 pretrain keeps a family's 5-fold CV near an
         # hour on one chip.
-        "SumGAN": {"epochs": 3,
+        "SumGAN": {"epochs": 3, "test_every_epochs": 2,
                    "extra_params": {"batch_size": 10, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1}},
-        "SumGAN_sup": {"epochs": 3,
+        "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 10, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1}},
-        "SumGAN-att": {"epochs": 3,
+        "SumGAN-att": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 10, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1}},
