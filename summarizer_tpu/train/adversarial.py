@@ -110,6 +110,19 @@ def _noise_mul(noise, key, x):
     return jnp.where(noise, x * jax.random.normal(key, x.shape), x)
 
 
+def bucketed_perm(slots_np, lengths, key, n, bucketed: bool):
+    """The epoch's video order as GLOBAL pack slots: draw the same local
+    permutation as the per-fold-pack path, compose with the fold's slots,
+    and (optionally) stable-sort by 128-step length bucket so groups end up
+    length-homogeneous (same-bucket videos stay shuffled) while every fold
+    video still appears exactly once."""
+    perm = slots_np[np.asarray(jax.random.permutation(key, n))]
+    if bucketed:
+        bucket_ids = (lengths[perm] + 127) // 128
+        perm = perm[np.argsort(bucket_ids, kind="stable")]
+    return perm
+
+
 def _perm_chunks(perm, chunk):
     """Split the epoch's group sequence into device-execution-sized chunks
     (the tail chunk is smaller; it costs one extra compile)."""
@@ -231,15 +244,9 @@ class _AdversarialBase(Engine):
         bucketed = bool(int(self.hp.get("bucket", bs >= 24)))
         for epoch in range(start_epoch, int(hps.epochs)):
             rng, k_perm, k_ep, k_ev = jax.random.split(rng, 4)
-            # Same permutation draw as the per-fold-pack path, composed with
-            # the fold's global slots (sel indices gather the shared pack).
-            perm = slots_np[np.asarray(jax.random.permutation(k_perm, n))]
-            if bucketed:
-                # Stable-sort the shuffled order by length bucket (128-step
-                # granularity): same-bucket videos stay shuffled, groups end
-                # up length-homogeneous, and each group's pad is its own max.
-                bucket_ids = (self._host_lengths[perm] + 127) // 128
-                perm = perm[np.argsort(bucket_ids, kind="stable")]
+            perm = bucketed_perm(
+                slots_np, self._host_lengths, k_perm, n, bucketed
+            )
             groups = jnp.asarray(perm[: (n // bs) * bs].reshape(-1, bs))
             acc, count = None, 0
             for sel in _perm_chunks(groups, chunk):

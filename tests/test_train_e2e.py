@@ -583,3 +583,33 @@ def test_shared_train_view_uploads_once(tmp_path, synth_h5):
             assert feats.shape[0] == len(all_keys)
             assert [all_keys[i] for i in slots] == list(split["train_keys"])
         assert spy.call_count == 1  # one upload for ALL folds
+
+
+def test_bucketed_perm_properties():
+    """GAN epoch ordering over the shared pack: the permutation must cover
+    the fold's global slots exactly once, and with bucketing enabled the
+    128-step length-bucket ids must be non-decreasing along the order
+    (groups cut from it are length-homogeneous)."""
+    import jax
+    import numpy as np
+
+    from summarizer_tpu.train.adversarial import bucketed_perm
+
+    rng = np.random.RandomState(0)
+    n_all, n = 20, 12
+    slots = np.sort(rng.choice(n_all, n, replace=False)).astype(np.int32)
+    lengths = rng.randint(64, 1024, size=n_all)
+    key = jax.random.PRNGKey(3)
+
+    plain = bucketed_perm(slots, lengths, key, n, bucketed=False)
+    assert sorted(plain.tolist()) == sorted(slots.tolist())
+
+    bucketed = bucketed_perm(slots, lengths, key, n, bucketed=True)
+    assert sorted(bucketed.tolist()) == sorted(slots.tolist())
+    ids = (lengths[bucketed] + 127) // 128
+    assert (np.diff(ids) >= 0).all(), ids
+    # Stable sort: within a bucket, the shuffled relative order is kept.
+    for b in np.unique(ids):
+        sub = bucketed[ids == b]
+        pos = {int(v): i for i, v in enumerate(plain)}
+        assert [pos[int(v)] for v in sub] == sorted(pos[int(v)] for v in sub)
