@@ -250,6 +250,7 @@ class _AdversarialBase(Engine):
             groups = jnp.asarray(perm[: (n // bs) * bs].reshape(-1, bs))
             acc, count = None, 0
             for sel in _perm_chunks(groups, chunk):
+                self.heartbeat()
                 k_ep, k_c = jax.random.split(k_ep)
                 params, opt_states, stats = epoch_fn(
                     params, opt_states, feats, targets, mask, sel, k_c,
@@ -482,6 +483,11 @@ class _AdversarialBase(Engine):
             keys = jax.random.split(rng, g)
             sel_np = np.asarray(sel_groups)
             for gi in range(g):
+                # Per-group heartbeat: the first LOL epoch compiles one
+                # 3-phase program per 128-step length bucket (minutes each
+                # on a 1-core host) with no metric writes in between — the
+                # sweep watchdog would otherwise read it as a dead worker.
+                self.heartbeat()
                 # Per-group pad: the group's own max length, rounded up to
                 # 128 steps (one compile per distinct bucket, cached).
                 if lens is not None:
