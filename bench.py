@@ -38,7 +38,11 @@ def log(*a):
 N_VIDEOS = 32
 T_STEPS = 320  # ~TVSum scale: 15x-subsampled frames (datasets/README.md:46)
 D = 1024
-EPOCHS_TIMED = 3
+# Long enough that one timed window is ~0.5 s of device time: at ~15 ms/epoch
+# a 3-epoch window was ~45 ms, and tunnel RPC jitter produced a 1,450-2,065
+# videos/s run-to-run spread on the SAME program.
+EPOCHS_TIMED = 30
+TRIALS = 3  # median-of-trials for the headline row
 
 
 def make_data(rng):
@@ -89,18 +93,22 @@ def bench_jax(feats, targets):
     jax.block_until_ready(loss)
     log(f"compile+first epoch: {time.perf_counter() - t0:.2f}s  loss={float(loss):.5f}")
 
-    t0 = time.perf_counter()
-    for _ in range(EPOCHS_TIMED):
-        params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
-    # One sync at the end: epochs chain through params, so the final loss
-    # transitively waits for all of them (a per-epoch fetch would add one
-    # tunnel round-trip per epoch to the measurement).
-    float(loss)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(EPOCHS_TIMED):
+            params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
+        # One sync at the end of the window: epochs chain through params, so
+        # the final loss transitively waits for all of them (a per-epoch
+        # fetch would add one tunnel round-trip per epoch to the measurement).
+        float(loss)
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[len(dts) // 2]
     vps = N_VIDEOS * EPOCHS_TIMED / dt
     mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
-    log(f"jax: {dt:.3f}s for {EPOCHS_TIMED} epochs -> {vps:.1f} videos/s "
-        f"(MFU {mfu * 100:.1f}% of bf16 peak, batch-1 parity dynamics)")
+    log(f"jax: median {dt:.3f}s of {dts} for {EPOCHS_TIMED} epochs -> "
+        f"{vps:.1f} videos/s (MFU {mfu * 100:.1f}% of bf16 peak, "
+        f"batch-1 parity dynamics)")
     return vps, mfu
 
 
