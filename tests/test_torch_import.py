@@ -249,3 +249,93 @@ def test_torch_transformer_state_dict_forward_parity():
             "attention_heads": heads, "flash": 0},
     )
     np.testing.assert_allclose(np.asarray(ours)[0], ref, atol=2e-5, rtol=1e-4)
+
+    # Reverse direction: the exported state_dict (incl. prototype-layer and
+    # duplicate-norm keys) must satisfy torch's STRICT load on the same
+    # reference-shaped module, and survive the torch->jax->torch roundtrip.
+    out_sd = export_state_dict("transformer", params)
+    m2 = RefTransformer()
+    m2.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in out_sd.items()})
+    for k, v in m2.state_dict().items():
+        if k.startswith(("transformer_encoder_layer.",)):
+            continue  # prototype layer: unused by forward, aliased to layer 0
+        np.testing.assert_allclose(v.numpy(), sd[k].numpy(), atol=0, err_msg=k)
+
+
+def test_torch_sumgan_selector_state_dict_forward_parity():
+    """SumGAN inference = the sLSTM selector (sumgan.py:251-258).  A torch
+    module with the reference's exact nested attribute names — 2-layer
+    bidirectional selector LSTM (layer-1 input is the 2H concat, the case
+    the 1-layer DSN test can't cover) — exports with .state_dict() and
+    imports; our selector forward must match."""
+    torch.manual_seed(2)
+    d, h, t = 8, 6, 13
+
+    class RefSLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(d, h, num_layers=2, bidirectional=True)
+            self.out = nn.Linear(2 * h, 1)
+            self.sig = nn.Sigmoid()
+
+        def forward(self, x):
+            hh, _ = self.lstm(x)
+            return self.sig(self.out(hh))
+
+    class RefELSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(d, 10, num_layers=2)
+            self.mu = nn.Linear(10, 10)
+            self.logvar = nn.Linear(10, 10)
+
+    class RefDLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(10, 10, num_layers=2)
+            self.recons = nn.Linear(10, d)
+
+    class RefVAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e_lstm = RefELSTM()
+            self.d_lstm = RefDLSTM()
+
+    class RefSummarizer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.s_lstm = RefSLSTM()
+            self.vae = RefVAE()
+
+    class RefCLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(d, h, num_layers=2)
+            self.out = nn.Sequential(nn.Linear(h, 1), nn.Sigmoid())
+
+    class RefGAN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c_lstm = RefCLSTM()
+
+    class RefSumGAN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.summarizer = RefSummarizer()
+            self.gan = RefGAN()
+
+        def forward(self, x):  # selector only (sumgan.py:251-258)
+            return self.summarizer.s_lstm(x)
+
+    m = RefSumGAN().eval()
+    params = import_state_dict("sumgan", dict(m.state_dict()))
+    x = np.random.RandomState(2).randn(t, 1, d).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()[:, 0, 0]
+    from summarizer_tpu.models.sumgan import slstm_apply
+
+    ours = slstm_apply(
+        params["s_lstm"], jnp.asarray(x.transpose(1, 0, 2)),
+        jnp.full((1,), t, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(ours)[0], ref, atol=1e-5, rtol=1e-5)
