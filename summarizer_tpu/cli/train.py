@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tensorboard", dest="tensorboard", action="store_false", default=None)
     p.add_argument("--profile", action="store_true", default=None,
                    help="Capture a jax.profiler trace of the first epoch")
+    p.add_argument("--init-weights", type=str,
+                   help="Warm-start params from a .ckpt (e.g. an imported "
+                        "reference .pth, see cli.import_weights)")
     p.add_argument("--resume", action="store_true", default=None,
                    help="Checkpoint full train state each epoch and resume from it")
     return p

@@ -421,7 +421,18 @@ class Engine:
         return ctx
 
     def init_params(self, rng):
-        return self.spec.module.init(rng, self.hp)
+        params = self.spec.module.init(rng, self.hp)
+        path = getattr(self.hps, "init_weights", None)
+        if path:
+            # Warm start (--init-weights): every fold begins from the given
+            # checkpoint — e.g. a reference-trained .pth brought across with
+            # cli.import_weights — instead of a fresh random init.  The
+            # random init above serves as the structure/shape template, so a
+            # mismatched architecture fails loudly here.
+            from summarizer_tpu.train.checkpoint import load_params
+
+            params = load_params(str(path), params)
+        return params
 
     def train_fold(self, fold: int, split: dict) -> FoldResult:
         raise NotImplementedError

@@ -102,6 +102,9 @@ class HParameters:
         self.profile = False  # capture a jax.profiler trace of one epoch
         self.resume = False  # save per-epoch train state and resume from it
         self.resume_path = None  # override the per-fold state path
+        self.init_weights = None  # warm-start every fold's params from a
+        # .ckpt (e.g. a reference .pth imported via cli.import_weights) —
+        # fine-tuning a migrated checkpoint instead of training from scratch
 
     # ------------------------------------------------------------- load/init
     def load_from_args(self, args: dict):
