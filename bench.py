@@ -370,36 +370,55 @@ def bench_eval_latency():
     return p50
 
 
-def _wait_for_sweeps(max_wait_s: float | None = None):
-    """If a benchmark sweep child still holds the (single) TPU, wait for it.
+def _stop_sweeps(max_wait_s: float | None = None):
+    """Evict any benchmark sweep child that still holds the (single) TPU.
 
-    The driver runs bench.py at round end; a long GAN sweep launched earlier
-    in the round may still be training.  Two concurrent clients of the
-    tunneled worker risk crashing it, so block (bounded) until the sweep
-    pids exit."""
+    The driver runs bench.py at round end with a hard timeout; round 2's
+    official artifact died waiting 1500 s for a GAN sweep to finish
+    (BENCH_r02.json rc=124).  The sweep children are OURS — their exact pids
+    live in the pid files our launch scripts write — so the correct policy
+    is: brief grace, then SIGTERM -> SIGKILL those recorded pids and take
+    the chip.  The sweep is retry-as-resume (cli/benchmark.py), so a killed
+    child loses at most the current fold chunk and resumes on next launch."""
     import glob
 
     if max_wait_s is None:
-        max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "1500"))
-    deadline = time.monotonic() + max_wait_s
-    pid_files = (glob.glob("/tmp/benchmark*.pid") + glob.glob("/tmp/bench_gan*.pid")
-                 + glob.glob("/tmp/post_sweep*.pid"))
-    while time.monotonic() < deadline:
-        alive = []
-        for pf in pid_files:
+        max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "90"))
+
+    def alive_pids():
+        pids = []
+        for pf in (glob.glob("/tmp/benchmark*.pid") + glob.glob("/tmp/bench_gan*.pid")
+                   + glob.glob("/tmp/post_sweep*.pid") + glob.glob("/tmp/sweep*.pid")):
             try:
                 pid = int(open(pf).read().strip())
                 os.kill(pid, 0)
-                alive.append(pid)
+                pids.append(pid)
             except (OSError, ValueError):
                 continue
-        if not alive:
+        return pids
+
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        if not alive_pids():
             return
-        remaining = deadline - time.monotonic()
-        log(f"waiting for sweep pids {alive} to release the TPU "
-            f"({remaining:.0f}s left)")
-        time.sleep(max(0.0, min(30.0, remaining)))
-    log("sweep still alive at deadline; proceeding anyway")
+        log(f"waiting up to {deadline - time.monotonic():.0f}s for sweep pids "
+            f"{alive_pids()} to release the TPU")
+        time.sleep(15.0)
+    for sig, wait in ((15, 30.0), (9, 10.0)):  # SIGTERM, then SIGKILL
+        pids = alive_pids()
+        if not pids:
+            break
+        log(f"stopping sweep pids {pids} with signal {sig}")
+        for pid in pids:
+            try:
+                os.kill(pid, sig)
+            except OSError:
+                pass
+        t0 = time.monotonic()
+        while alive_pids() and time.monotonic() - t0 < wait:
+            time.sleep(2.0)
+    # give the tunneled worker a moment to drop the dead client's RPCs
+    time.sleep(10.0)
 
 
 def _ensure_datasets():
@@ -417,91 +436,97 @@ def _ensure_datasets():
         log(f"fixture regeneration failed: {e}")
 
 
+def _reset_backend(sleep_s: float = 30.0):
+    try:
+        # A worker crash poisons the live backend; drop it so the next
+        # attempt reconnects to the (restarted) worker.
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+        time.sleep(sleep_s)
+    except Exception as e2:
+        log(f"backend reset failed: {e2}")
+
+
 def main():
     rng = np.random.RandomState(42)
     feats, targets = make_data(rng)
     _ensure_datasets()
-    _wait_for_sweeps()
+    _stop_sweeps()
+
+    # CPU-side baseline first: it cannot crash the TPU worker and the
+    # headline JSON needs it for vs_baseline.
+    base = bench_torch(feats, targets)
+
     vps = mfu = None
+    last_err = None
     for attempt in range(3):
         try:
             vps, mfu = bench_jax(feats, targets)
             break
         except Exception as e:
+            last_err = e
             log(f"headline bench attempt {attempt + 1} failed: {e}")
-            time.sleep(120)
-            try:
-                # A worker crash poisons the live backend; drop it so the
-                # next attempt reconnects to the (restarted) worker.
-                import jax.extend.backend
-
-                jax.extend.backend.clear_backends()
-            except Exception as e2:
-                log(f"backend reset failed: {e2}")
+            _reset_backend(60.0)
     if vps is None:
-        vps, mfu = bench_jax(feats, targets)  # final try, let it raise
+        raise last_err
+
     extras = {}
+    # The throughput configuration (VERDICT r2 item 3): batch-32 supervised
+    # step with reference dropout semantics intact — the named MFU row.
     try:
         vps32, mfu32 = bench_jax_batched(feats, targets, batch=32)
         extras["batch32_videos_per_sec"] = round(vps32, 1)
         extras["batch32_mfu_pct"] = round(mfu32 * 100, 1)
     except Exception as e:
         log(f"batch-32 bench failed: {e}")
-    try:
-        vpsk, mfuk = bench_jax_folds(feats, targets, k=5)
-        extras["fold5_videos_per_sec"] = round(vpsk, 1)
-        extras["fold5_mfu_pct"] = round(mfuk * 100, 1)
-        extras["fold5_vs_sequential"] = round(vpsk / vps, 2)
-    except Exception as e:
-        log(f"fold-parallel bench failed: {e}")
-    # Eval latency BEFORE the GAN rows: a GAN-row OOM can crash the worker,
-    # and nothing after a crash is trustworthy until the backend resets.
-    try:
-        bench_eval_latency()
-    except Exception as e:
-        log(f"eval-latency bench failed: {e}")
+        _reset_backend()
 
-    def _reset_backend():
-        try:
-            import jax.extend.backend
-
-            jax.extend.backend.clear_backends()
-            time.sleep(30)
-        except Exception as e2:
-            log(f"backend reset failed: {e2}")
-
-    for row_bs in (20, 10):
-        try:
-            gan_vps = bench_sumgan(bs=row_bs)
-            extras["sumgan_videos_per_sec"] = round(gan_vps, 2)
-            extras["sumgan_group"] = row_bs
-            extras["sumgan_vs_round1"] = round(gan_vps / 4.21, 2)
-            break
-        except Exception as e:
-            log(f"sumgan bench failed at group {row_bs}: {e}")
-            _reset_backend()
-    for row_bs in (20, 10):
-        try:
-            gan_vps8 = bench_sumgan(int8=True, bs=row_bs)
-            extras["sumgan_int8_videos_per_sec"] = round(gan_vps8, 2)
-            break
-        except Exception as e:
-            log(f"sumgan int8 bench failed at group {row_bs}: {e}")
-            _reset_backend()
-    base = bench_torch(feats, targets)
-    vs = (vps / base) if base else 0.0
+    # Emit the official line NOW: everything below is extra color that must
+    # never cost the driver its artifact (round 2 lost its JSON to a child
+    # sweep + timeout; see BENCH_r02.json rc=124).
     print(
         json.dumps(
             {
                 "metric": "vasnet_train_throughput",
                 "value": round(vps, 2),
                 "unit": "videos/sec",
-                "vs_baseline": round(vs, 2),
+                "vs_baseline": round(vps / base, 2) if base else 0.0,
                 "mfu_pct": round(mfu * 100, 1),
                 **extras,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return
+    try:
+        vpsk, mfuk = bench_jax_folds(feats, targets, k=5)
+        log(f"fold5: {vpsk:.1f} videos/s, MFU {mfuk * 100:.1f}%, "
+            f"{vpsk / vps:.2f}x sequential")
+    except Exception as e:
+        log(f"fold-parallel bench failed: {e}")
+        _reset_backend()
+    # Eval latency BEFORE the GAN rows: a GAN-row OOM can crash the worker,
+    # and nothing after a crash is trustworthy until the backend resets.
+    try:
+        bench_eval_latency()
+    except Exception as e:
+        log(f"eval-latency bench failed: {e}")
+        _reset_backend()
+
+    for int8 in (False, True):
+        for row_bs in (20, 10):
+            try:
+                gan_vps = bench_sumgan(int8=int8, bs=row_bs)
+                log(f"sumgan{'_int8' if int8 else ''} group {row_bs}: "
+                    f"{gan_vps:.2f} videos/s ({gan_vps / 4.21:.1f}x round-1)")
+                break
+            except Exception as e:
+                log(f"sumgan{'_int8' if int8 else ''} bench failed at "
+                    f"group {row_bs}: {e}")
+                _reset_backend()
 
 
 if __name__ == "__main__":

@@ -50,15 +50,15 @@ MODEL_CONFIGS = [
     # Summarizer.pdf §4.2) == 60 steps.
     ("VASNet_loc", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
                     "extra_params": {"local": 60}}),
-    # Transformers stay sequential AND unfused: the stacked 6L encoder is
-    # HBM-bound per step (clean A/B: 349 s fold-parallel vs 265 s sequential
-    # per dataset), and the fused whole-run program compiles to a ~39 MB
-    # executable whose one-time upload to the tunneled TPU worker costs
-    # ~8 min — far more than the per-epoch dispatches it saves.  On locally
-    # attached TPUs (PCIe executable load) fused would win; this is a
-    # tunnel-environment tradeoff, not a model property.
-    ("Transformer", {"model": "transformer", "epochs": 30, "fused": 0,
-                     "extra_params": {}}),
+    # Transformers stay fold-sequential (the stacked 6L encoder is HBM-bound
+    # per step; clean A/B: 349 s fold-parallel vs 265 s sequential per
+    # dataset) but now run FUSED with scan_layers=1: storing the encoder
+    # stack as one stacked-(L,) pytree and scanning it makes the compiled
+    # whole-run program carry the layer body once — round 2's unrolled fused
+    # executable was ~39 MB (an ~8 min upload through the tunneled worker,
+    # why it ran unfused); the scanned one uploads like every other family.
+    ("Transformer", {"model": "transformer", "epochs": 30,
+                     "extra_params": {"scan_layers": 1}}),
     # New family (no reference counterpart): MoE encoder, 4 experts top-2.
     ("Transformer-MoE", {"model": "transformer_moe", "epochs": 30, "fused": 0,
                          "extra_params": {}}),
@@ -68,31 +68,34 @@ MODEL_CONFIGS = [
              "extra_params": {}}),
     ("DSN_sup", {"model": "dsn", "epochs": 20, "fold_parallel": 1,
                  "extra_params": {"sup": 1}}),
-    # bucket=0 (explicit; also the bs<24 default): one cached 3-phase
-    # executable per dataset, no per-bucket-shape variants.  resume_light=1:
-    # the tunnel moves ~20 MB/s, so a 2.3 GB full train state costs ~2 min
-    # per save/upload — longer than the flaky worker often survives, meaning
-    # full-state crash recovery protected nothing.  Params-only states
-    # (~760 MB) land reliably; a resumed fold restarts its Adam moments
-    # (documented benchmark-mode tradeoff).
-    # batch_size=10: bf16 sublane tiles are 16 rows, so a group of 20 pads
-    # to 32 — twice the activation memory of a group of 10..16 — and the
-    # tunneled worker's usable HBM proved variable (a 20-group 3-phase step
-    # that fit in the morning OOM'd by noon).  10 divides both canonical
-    # train-fold sizes (tvsum 40, summe 20) exactly, so no videos are
-    # dropped by the group reshape, and pads to the same 16 rows as 16.
+    # GAN sweep defaults (VERDICT r2 item 1): video group 20 (divides both
+    # canonical train folds, tvsum 40 / summe 20, so no videos are dropped
+    # by the group reshape), int8 weight streaming with remat OFF — at
+    # group >= 20 the int8 recurrences are MXU-compute-bound, so remat's
+    # re-streaming costs more than the residual memory it saves
+    # (BENCH_NOTES: 19.5 videos/s int8/group-24/remat-0 vs 12.3 bf16/20) —
+    # and bucket=0 (one cached 3-phase executable per dataset).
+    # resume_light=1: the tunnel moves ~20 MB/s, so a 2.3 GB full train
+    # state costs ~2 min per save/upload — longer than the flaky worker
+    # often survives.  Params-only states (~760 MB) land reliably; a
+    # resumed fold restarts its Adam moments (documented benchmark-mode
+    # tradeoff).  SumGAN stays fold-sequential: its stacked 5-fold state is
+    # ~11.7 GB (train/adversarial.py::_fold_parallel_fits would refuse).
     ("SumGAN", {"model": "sumgan", "epochs": 20,
-                "extra_params": {"batch_size": 10, "pretrain_vae": 10, "bf16": 1,
-                                 "scan_chunk": 1, "bucket": 0,
-                                 "resume_light": 1}}),
+                "extra_params": {"batch_size": 20, "pretrain_vae": 10,
+                                 "int8": 1, "remat": 0, "scan_chunk": 2,
+                                 "bucket": 0, "resume_light": 1}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
-                    "extra_params": {"batch_size": 10, "pretrain_vae": 10, "bf16": 1,
-                                     "sup": 1, "scan_chunk": 1, "bucket": 0,
+                    "extra_params": {"batch_size": 20, "pretrain_vae": 10,
+                                     "int8": 1, "remat": 0, "scan_chunk": 2,
+                                     "sup": 1, "bucket": 0,
                                      "resume_light": 1}}),
-    ("SumGAN-att", {"model": "sumgan_att", "epochs": 20,
-                    "extra_params": {"batch_size": 10, "pretrain_ae": 20, "bf16": 1,
-                                     "scan_chunk": 1, "bucket": 0,
-                                     "resume_light": 1}}),
+    # SumGAN-att is 48 M params (2.9 GB stacked) — the 5 folds train as one
+    # vmapped program (train/adversarial.py::train_folds).
+    ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "fold_parallel": 1,
+                    "extra_params": {"batch_size": 10, "pretrain_ae": 20,
+                                     "bf16": 1, "scan_chunk": 2, "bucket": 0,
+                                     "remat": 0, "resume_light": 1}}),
 ]
 
 # Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's
@@ -262,6 +265,42 @@ def main(argv=None):
     )
     wanted = set(args.models.split(",")) if args.models else None
 
+    # Make the sweep evictable: bench.py's round-end _stop_sweeps kills the
+    # exact pids recorded in /tmp/benchmark*.pid.  Round 2 lost its official
+    # artifact to an unevictable orphan (the pid file named a dead launcher
+    # while this wrapper and its training child lived on), so the wrapper
+    # registers ITSELF and forwards SIGTERM to whichever child currently
+    # holds the TPU before exiting.
+    import signal
+
+    pid_file = f"/tmp/benchmark_{os.getpid()}.pid"
+    try:
+        with open(pid_file, "w") as f:
+            f.write(str(os.getpid()))
+        import atexit
+
+        atexit.register(lambda: os.path.exists(pid_file) and os.unlink(pid_file))
+    except OSError:
+        pid_file = None
+    active_child: list = [None]
+
+    def _evict(signum, frame):
+        child = active_child[0]
+        if child is not None and child.poll() is None:
+            child.terminate()
+            try:
+                child.wait(timeout=20)
+            except Exception:
+                child.kill()
+        if pid_file:
+            try:
+                os.unlink(pid_file)
+            except OSError:
+                pass
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _evict)
+
     rows = []
     for name, cfg in MODEL_CONFIGS:
         # Match either the model key (all variants: "sumgan" = SumGAN +
@@ -325,6 +364,7 @@ def main(argv=None):
                     # Files, not pipes: a child's stderr logging would fill a
                     # 64 KB pipe and block it (indistinguishable from a stall).
                     p = subprocess.Popen(child, stdout=fo, stderr=fe, text=True)
+                    active_child[0] = p
                     deadline = time.monotonic() + 3600
                     start_wall = time.time()  # getmtime is wall-clock
                     rc = None

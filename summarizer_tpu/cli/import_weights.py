@@ -51,16 +51,33 @@ def _parse_params(pairs):
     return hp
 
 
-def _load_pth(path: str) -> dict:
+def _load_pth(path: str, allow_pickle: bool = False) -> dict:
     import torch
 
     try:
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-    except TypeError:  # older torch without weights_only
-        sd = torch.load(path, map_location="cpu")
+        try:
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+        except TypeError:  # older torch without weights_only
+            sd = torch.load(path, map_location="cpu")
+    except Exception as e:
+        # weights_only=True refuses pickled nn.Modules (UnpicklingError on
+        # modern torch).  Unpickling executes arbitrary code, so retrying
+        # with weights_only=False is explicit opt-in.
+        if not allow_pickle:
+            raise SystemExit(
+                f"could not load {path} as a plain state_dict ({e}). If the "
+                f"file contains a pickled torch module, re-run with "
+                f"--allow-pickle (executes the file's pickle code)."
+            )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # a whole module was saved
         sd = sd.state_dict()
-    return dict(sd)
+    # DataParallel-trained references prefix every key with 'module.';
+    # normalize once here so hp inference and import see the same names.
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in dict(sd).items()
+    }
 
 
 def main(argv=None):
@@ -81,6 +98,11 @@ def main(argv=None):
                    help="After import, run full-dataset prediction with the "
                         "imported weights and write the reference-layout preds h5")
     p.add_argument("--datasets", help="Dataset h5 path (required with --predict)")
+    p.add_argument("--splits", help="Splits JSON for --predict on a dataset "
+                                    "without a canonical splits/<name>_splits.json")
+    p.add_argument("--allow-pickle", action="store_true",
+                   help="Permit loading a .pth that pickles a whole torch "
+                        "module (executes its pickle code; default refuses)")
     args = p.parse_args(argv)
     hp_over = _parse_params(args.param)
 
@@ -106,8 +128,18 @@ def main(argv=None):
         print(f"{args.input} -> {args.output} ({len(sd)} tensors, torch state_dict)")
         return
 
-    sd = _load_pth(args.input)
+    sd = _load_pth(args.input, allow_pickle=args.allow_pickle)
     hp = {**infer_hp(args.model, sd), **hp_over}
+    if args.model in ("vasnet", "transformer") and "pos_embed" not in hp_over \
+            and not any(".pos" in k or "pos_embed" in k for k in sd):
+        # The reference stores the sinusoidal ('attention') pos-embed table
+        # as an unregistered attribute (summarizer/models/vasnet.py:43-50),
+        # so a .pth cannot reveal whether it was trained with one; only the
+        # learned 'simple' table shows up in the state_dict.
+        print("note: no positional-embedding tensor in the checkpoint. If "
+              "the reference run used --pos_embed attention, pass "
+              "--param pos_embed=attention --param max_pos=<N> (not "
+              "inferable from the file); otherwise predictions will diverge.")
     params = import_state_dict(args.model, sd, hp_over)
     from summarizer_tpu.train.checkpoint import save_params
 
@@ -129,16 +161,23 @@ def main(argv=None):
         # canonical splits file matching the h5 so the config resolves.
         m = re.search(r"summarizer_dataset_(\w+?)_", os.path.basename(args.datasets))
         ds_name = m.group(1) if m else os.path.splitext(os.path.basename(args.datasets))[0]
-        sf = os.path.join("splits", f"{ds_name}_splits.json")
+        sf = args.splits or os.path.join("splits", f"{ds_name}_splits.json")
+        if not os.path.exists(sf):
+            # Without this, HParameters falls back to the 'minimal' shorthand
+            # and dies resolving 'tvsum' against an unrelated dataset path.
+            raise SystemExit(
+                f"no splits file for dataset {ds_name!r} (looked for {sf}); "
+                f"pass --splits <file.json> (prediction covers the whole "
+                f"dataset, so any splits file over its keys works)"
+            )
         hps_args = {
             "model": args.model,
             "datasets": args.datasets,
             "extra_params": dict(hp),
             "tensorboard": False,
             "log_level": "error",
+            "splits_files": sf,
         }
-        if os.path.exists(sf):
-            hps_args["splits_files"] = sf
         hps = HParameters()
         hps.load_from_args(hps_args)
         dataset = SummarizerDataset(args.datasets)

@@ -53,8 +53,15 @@ def eval_static_dims(records: list[VideoRecord], proportion: float = 0.15, quant
     """Static paddings for the eval program: (S, G, U, F, max_capacity)."""
     s = round_up(max(r.n_steps for r in records), quantum)
     g = round_up(max(len(r.n_frame_per_seg) for r in records), quantum)
+    # U covers BOTH annotation kinds: real SumMe has 15-18 /user_summary
+    # annotators but a single /user_scores pseudo-user (datasets/
+    # README.md:54-74) — their per-video counts are independent.
     u = max(
-        (r.user_scores.shape[0] if r.user_scores is not None else 1) for r in records
+        max(
+            (r.user_scores.shape[0] if r.user_scores is not None else 1),
+            (r.user_summary.shape[0] if r.user_summary is not None else 1),
+        )
+        for r in records
     )
     f = round_up(max(r.n_frames for r in records), 128)
     cap = int(max(np.floor(r.n_frames * proportion) for r in records))
@@ -76,6 +83,7 @@ def pack_eval(
     user_scores = np.zeros((b, u, f), np.float32)
     user_summary = np.zeros((b, u, f), np.float32)
     n_users = np.zeros(b, np.int32)
+    n_summary_users = np.zeros(b, np.int32)
 
     for i, r in enumerate(records):
         t = r.n_steps
@@ -102,6 +110,7 @@ def pack_eval(
         user_scores[i, :nu, :nf] = r.user_scores[:, :nf]
         user_summary[i, : r.user_summary.shape[0], :nf] = r.user_summary[:, :nf]
         n_users[i] = nu
+        n_summary_users[i] = r.user_summary.shape[0]
 
     # Average-tie ranks of the (run-constant) annotator scores, computed once
     # here so the per-eval device program only ranks the machine side
@@ -125,6 +134,7 @@ def pack_eval(
         user_scores=user_scores,
         user_summary=user_summary,
         n_users=n_users,
+        n_summary_users=n_summary_users,
         user_ranks=user_ranks,
     )
     return batch, feats

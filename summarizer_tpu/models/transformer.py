@@ -34,7 +34,26 @@ DEFAULTS = dict(
     # batch axis, in-kernel dropout).  "auto" switches it on for long
     # sequences (T >= 1024, the LOL regime) where the dense path's
     # (B, H, T, T) probs tensor dominates HBM traffic; 1/0 force it.
+    scan_layers=0,  # store the encoder stack as ONE stacked-(L, ...) pytree
+    # and run it as a `lax.scan` instead of an unrolled Python loop: same
+    # math and the same per-layer RNG stream, but the compiled program
+    # contains the layer body ONCE.  The unrolled 6-layer fused whole-CV
+    # program compiles to a ~39 MB executable (an ~8 min upload through the
+    # tunneled TPU worker, cli/benchmark.py); the scanned one is a fraction
+    # of that.  Checkpoints trained either way interconvert via
+    # stack_layers/unstack_layers; torch import/export always uses the
+    # per-layer (list) layout.
 )
+
+
+def stack_layers(layers: list):
+    """List-of-layer-pytrees -> one pytree with a leading (L,) axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layers(stacked) -> list:
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
 
 
 def init(rng, hp: dict):
@@ -54,7 +73,9 @@ def init(rng, hp: dict):
             layer["lin2"]["w"] = init_fn(kk[1], layer["lin2"]["w"].shape)
 
     params = {
-        "layers": layers,
+        # scan_layers stores the SAME per-layer values stacked on a leading
+        # (L,) axis, so the two layouts are value-identical for a given rng.
+        "layers": stack_layers(layers) if int(hp.get("scan_layers", 0)) else layers,
         "norm": layer_norm_init(d),  # shared: encoder final norm + head norm
         "k1": linear_init(keys[n_layers], d, d),
         "k2": linear_init(keys[n_layers + 1], d, 1),
@@ -75,7 +96,12 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     heads = int(hp["attention_heads"])
     eps = float(hp["epsilon"])
     rate = float(hp["dropout"])
-    keys = split_or_none(rng, len(params["layers"]) + 1)
+    layers = params["layers"]
+    stacked = isinstance(layers, dict)  # scan_layers layout (leading L axis)
+    n_layers = (
+        jax.tree.leaves(layers)[0].shape[0] if stacked else len(layers)
+    )
+    keys = split_or_none(rng, n_layers + 1)
 
     flash = hp.get("flash", "auto")
     d = x.shape[-1]
@@ -87,11 +113,23 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
 
     x = add_pos_embed(params.get("pos"), x)
     h = x
-    for i, layer in enumerate(params["layers"]):
-        h = encoder_layer_apply(
-            layer, h, heads, mask, rng=keys[i], train=train, rate=rate, eps=eps,
-            flash=use_flash, attention_override=override,
-        )
+    if stacked:
+
+        def body(h, inp):
+            layer, k = inp
+            h = encoder_layer_apply(
+                layer, h, heads, mask, rng=k, train=train, rate=rate,
+                eps=eps, flash=use_flash, attention_override=override,
+            )
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, (layers, keys[:n_layers]))
+    else:
+        for i, layer in enumerate(layers):
+            h = encoder_layer_apply(
+                layer, h, heads, mask, rng=keys[i], train=train, rate=rate,
+                eps=eps, flash=use_flash, attention_override=override,
+            )
     h = layer_norm(params["norm"], h, eps)
     if hp["more_residuals"]:
         h = h + x

@@ -93,9 +93,44 @@ def sinusoid_pos_embed(max_len: int, dim: int) -> np.ndarray:
 
 
 # -------------------------------------------------------------------- dropout
+def _key_seed(rng):
+    """Fold a PRNG key (raw uint32[2] or typed) into one uint32 seed without
+    running the threefry core."""
+    if jax.dtypes.issubdtype(jnp.result_type(rng), jax.dtypes.prng_key):
+        data = jax.random.key_data(rng)
+    else:
+        data = jnp.asarray(rng)
+    data = data.reshape(-1).astype(jnp.uint32)
+    return data[0] ^ (data[1] * np.uint32(0x9E3779B9))
+
+
+def hash_keep(idx, seed, rate: float):
+    """Deterministic Bernoulli(1-rate) keep mask from element indices: the
+    murmur3 finalizer over (idx, seed) — the same construction the Pallas
+    flash kernel uses in-kernel (ops/flash_attention.py::dropout_keep).
+    ~10 VPU ops/element vs. the threefry core's hundreds: the three
+    (B, T, *)-sized dropout sites in an attention scorer cost ~40% of the
+    train step under jax.random.bernoulli (BENCH_NOTES 'Dense/flash
+    crossover') and ~nothing under this hash.  Top 24 bits -> U[0, 1)."""
+    h = idx.astype(jnp.uint32) * np.uint32(0x9E3779B1)
+    h = h ^ (seed * np.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h >> 8).astype(jnp.int32) >= np.int32(int(rate * (1 << 24)))
+
+
 def dropout(rng, x, rate: float, train: bool):
-    """Inverted dropout; identity when eval or rate == 0."""
+    """Inverted dropout; identity when eval or rate == 0.
+
+    Reference semantics (torch.nn.Dropout: i.i.d. Bernoulli keep, 1/(1-p)
+    scaling) with a stateless hash mask instead of a counter-based PRNG —
+    the marginal distribution is identical, the bit pattern is not torch's
+    (no dropout pattern is contractual; lockstep parity runs disable it)."""
     if not train or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
+    keep = hash_keep(idx, _key_seed(rng), rate)
     return jnp.where(keep, x / (1.0 - rate), 0.0)

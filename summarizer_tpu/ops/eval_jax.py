@@ -38,7 +38,10 @@ class EvalBatch(NamedTuple):
     n_segs: jnp.ndarray  # (B,) int32
     user_scores: jnp.ndarray  # (B, U, F) f32 per-annotator frame scores
     user_summary: jnp.ndarray  # (B, U, F) f32 per-annotator binary summaries
-    n_users: jnp.ndarray  # (B,) int32
+    n_users: jnp.ndarray  # (B,) int32 valid rows of user_scores
+    n_summary_users: jnp.ndarray  # (B,) int32 valid rows of user_summary —
+    # independent of n_users: real SumMe pairs 15-18 /user_summary annotators
+    # with ONE /user_scores pseudo-user (datasets/README.md:54-74)
     user_ranks: jnp.ndarray  # (B, U, F) f32 average-tie ranks of user_scores
     # over the valid frames — precomputed at pack time because annotations
     # never change across a run, so each eval ranks only the machine side
@@ -208,7 +211,7 @@ def evaluate_batch(
     """
 
     def one(video_scores, pos, n_steps, n_frames, cps, nfps, n_segs, uscores,
-            usumm, n_users, uranks):
+            usumm, n_users, n_summ_users, uranks):
         fs = upsample_step(video_scores, pos, n_steps, n_frames, out_frames)
         corr = eval_scores_video(fs, uscores, uranks, n_users, n_frames, metric)
 
@@ -222,7 +225,7 @@ def evaluate_batch(
         else:
             raise KeyError(f"Unknown method {method}")
         ms = summary_from_picks(picks, nfps, n_segs, out_frames)
-        avg_f1, max_f1 = eval_summary_video(ms, usumm, n_users, n_frames)
+        avg_f1, max_f1 = eval_summary_video(ms, usumm, n_summ_users, n_frames)
         return corr, avg_f1, max_f1
 
     return jax.vmap(one)(
@@ -236,5 +239,6 @@ def evaluate_batch(
         batch.user_scores,
         batch.user_summary,
         batch.n_users,
+        batch.n_summary_users,
         batch.user_ranks,
     )

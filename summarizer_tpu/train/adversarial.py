@@ -311,6 +311,228 @@ class _AdversarialBase(Engine):
             best = FoldResult(corr, af1, mf1, jax.device_get(params))
         return best
 
+    def pretrain(self, params, feats, targets, mask, cfg, rng):
+        opt, loss_fn, tag = self._pretrain_setup(params, cfg)
+        return self._run_pretrain(
+            params, feats, mask, cfg, rng, opt, opt.init(params), loss_fn, tag
+        )
+
+    def make_epoch_fn(self, opts, cfg):
+        return self._make_epoch(self.phase_losses(cfg), opts)
+
+    # ---------------------------------------------------- fold-parallel (GAN)
+    def _fold_parallel_fits(self, params_one, k_folds: int) -> bool:
+        """HBM guard: stacked GAN training holds k copies of (params + the
+        Adam moments of all 3 masked chains, which partition the tree) in
+        f32 — ~3x params bytes per fold.  The sequential path is the
+        fallback when that alone would crowd out activations on a 16 GB
+        chip; ``fold_parallel_hbm_gb`` overrides the budget."""
+        n_bytes = sum(x.size * 4 for x in jax.tree.leaves(params_one))
+        budget = float(self.hp.get("fold_parallel_hbm_gb", 9.0)) * 1e9
+        if 3 * n_bytes * k_folds > budget:
+            self.log.info(
+                f"fold_parallel: stacked state ~{3 * n_bytes * k_folds / 1e9:.1f} "
+                f"GB exceeds the {budget / 1e9:.0f} GB budget — sequential path"
+            )
+            return False
+        return True
+
+    def pretrain_folds(self, params, feats, mask, cfg, rngs, fold_slots):
+        """Stacked VAE/AE pretraining: the per-fold pretrain loop vmapped
+        over the fold axis (same masked Adam, same per-fold RNG streams)."""
+        template = jax.tree.map(lambda x: x[0], params)
+        opt, loss_fn, tag = self._pretrain_setup(template, cfg)
+        pre_multi = getattr(self, "_pretrain_stacked", None)
+        if pre_multi is None:
+            pre_multi = self._pretrain_stacked = jax.jit(
+                jax.vmap(
+                    self._pretrain_chunk_impl(opt, loss_fn),
+                    in_axes=(0, 0, None, None, 0, 0),
+                )
+            )
+        opt_state = jax.vmap(opt.init)(params)
+        k_folds, n = fold_slots.shape
+        bs, chunk = self._sizes(n)
+        for epoch in range(cfg["pretrain_epochs"]):
+            ks = jax.vmap(lambda r: jax.random.split(r, 3))(rngs)
+            rngs, k_perm, k_ep = ks[:, 0], ks[:, 1], ks[:, 2]
+            perms = np.stack(
+                [
+                    fold_slots[f][np.asarray(jax.random.permutation(k_perm[f], n))]
+                    for f in range(k_folds)
+                ]
+            )
+            groups = perms[:, : (n // bs) * bs].reshape(k_folds, -1, bs)
+            total, count = 0.0, 0
+            for lo in range(0, groups.shape[1], chunk):
+                kc = jax.vmap(jax.random.split)(k_ep)
+                k_ep, k_c = kc[:, 0], kc[:, 1]
+                sel = jnp.asarray(groups[:, lo : lo + chunk])
+                params, opt_state, loss = pre_multi(
+                    params, opt_state, feats, mask, sel, k_c
+                )
+                total += float(np.asarray(loss).mean()) * sel.shape[1]
+                count += sel.shape[1]
+                self.heartbeat()
+            if epoch % 10 == 0 or epoch == cfg["pretrain_epochs"] - 1:
+                self.log.info(
+                    f"Pretrain: {epoch + 1:3}/{cfg['pretrain_epochs']:3}   "
+                    f"{tag} (mean over folds): {total / max(count, 1):.05f}"
+                )
+        return params
+
+    def train_folds(self, splits) -> list[FoldResult] | None:
+        """All CV folds of the 3-phase adversarial run trained as ONE vmapped
+        program (``--fold_parallel``), mirroring the supervised engine's
+        stacked path (train/supervised.py:train_folds): stacked params and
+        3x masked-Adam states, per-fold permutations indexing the shared
+        dataset-wide pack, stacked pretrain, and the vmapped device eval.
+
+        The GAN's batch-1 recurrences are weight-streaming-bound; stacking K
+        folds multiplies the rows each streamed weight tile serves by K and
+        cuts the host dispatches per epoch by K — the two costs that
+        dominate the GAN sweep's wall-clock (VERDICT r2 item 1).  Returns
+        None (sequential fallback) when folds can't stack or the stacked
+        state would not fit HBM."""
+        hps = self.hps
+        k_folds = len(splits)
+        if not self._fold_parallel_ready(splits):
+            return None
+        cfg = self._cfg()
+        self.heartbeat()
+        feats, targets, mask, fold_idx, _ = self._stacked_fold_data(splits)
+        fold_slots = np.asarray(fold_idx)
+        n = fold_slots.shape[1]
+        bs, chunk = self._sizes(n)
+        if bool(int(self.hp.get("split_phases", bs >= 24))) or bool(
+            int(self.hp.get("bucket", bs >= 24))
+        ):
+            # Split-phase / per-group length bucketing pad each group to its
+            # own shape (host-side loop) — that per-group control flow can't
+            # ride a vmapped fold axis.
+            self.log.info(
+                "fold_parallel: split-phase/bucketed GAN config — sequential path"
+            )
+            return None
+        for f, s in enumerate(splits):
+            self.draw_gtscores(f, list(s["train_keys"]))
+
+        rngs, params = self._stacked_init(k_folds)
+        if not self._fold_parallel_fits(jax.tree.map(lambda x: x[0], params),
+                                        k_folds):
+            return None
+
+        import os as _os
+
+        state_path = self._stacked_state_path()
+        resuming = getattr(hps, "resume", False) and _os.path.exists(state_path)
+
+        if cfg["pretrain_epochs"] > 0 and not resuming:
+            ks = jax.vmap(jax.random.split)(rngs)
+            rngs, k_pre = ks[:, 0], ks[:, 1]
+            params = self.pretrain_folds(params, feats, mask, cfg, k_pre,
+                                         fold_slots)
+
+        opts, _ = self.make_optimizers(jax.tree.map(lambda x: x[0], params), cfg)
+        epoch_multi = getattr(self, "_train_program_stacked", None)
+        if epoch_multi is None:
+            epoch_multi = self._train_program_stacked = jax.jit(
+                jax.vmap(
+                    self._make_epoch_scan_impl(self.phase_losses(cfg), opts),
+                    in_axes=(0, 0, None, None, None, 0, 0, None),
+                )
+            )
+        opt_states = tuple(jax.vmap(o.init)(params) for o in opts)
+        params, opt_states, rngs, _, start_epoch = self._stacked_resume_load(
+            params, opt_states, rngs, {}
+        )
+        if not resuming and getattr(hps, "resume", False) and cfg["pretrain_epochs"] > 0:
+            # Post-pretrain snapshot: a crash in the first epochs must not
+            # re-buy the whole stacked pretrain on retry.
+            self._stacked_maybe_save(params, opt_states, rngs, {}, 0, force=True)
+
+        eval_multi, eval_feats, eval_mask, eval_batch = self._stacked_eval_setup(
+            splits
+        )
+        best = [FoldResult(-1.0, 0.0, 0.0, None) for _ in range(k_folds)]
+        epoch_noise = cfg["epoch_noise"]
+        tags = ("Lse", "Ld", "Lc", "D_x", "D_x_hat", "D_x_hat_p")
+        for epoch in range(start_epoch, int(hps.epochs)):
+            ks = jax.vmap(lambda r: jax.random.split(r, 4))(rngs)
+            rngs, k_perm, k_ep, k_ev = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+            perms = np.stack(
+                [
+                    fold_slots[f][np.asarray(jax.random.permutation(k_perm[f], n))]
+                    for f in range(k_folds)
+                ]
+            )
+            groups = perms[:, : (n // bs) * bs].reshape(k_folds, -1, bs)
+            acc, count = None, 0
+            for lo in range(0, groups.shape[1], chunk):
+                self.heartbeat()
+                kc = jax.vmap(jax.random.split)(k_ep)
+                k_ep, k_c = kc[:, 0], kc[:, 1]
+                sel = jnp.asarray(groups[:, lo : lo + chunk])
+                params, opt_states, stats = epoch_multi(
+                    params, opt_states, feats, targets, mask, sel, k_c,
+                    epoch < epoch_noise,
+                )
+                w = sel.shape[1]
+                s = [np.asarray(v) * w for v in stats]  # each (k,)
+                acc = s if acc is None else [a + b for a, b in zip(acc, s)]
+                count += w
+            means = [v / max(count, 1) for v in acc]
+            self.log.info(
+                f"Epoch: {f'{epoch + 1}/{hps.epochs}':6}   "
+                + "  ".join(
+                    f"{t}: {float(np.mean(v)):.05f}" for t, v in zip(tags, means)
+                )
+                + "  (means over folds)"
+            )
+            for f in range(k_folds):
+                for t, v in zip(tags, means):
+                    self.scalar(f, "Train", t, float(v[f]), epoch)
+
+            if epoch % int(hps.test_every_epochs) == 0:
+                corr, af1, mf1 = map(
+                    np.asarray,
+                    eval_multi(params, k_ev, eval_feats, eval_mask, eval_batch),
+                )
+                for f in range(k_folds):
+                    self.scalar(f, "Test", "Correlation", float(corr[f]), epoch)
+                    self.scalar(f, "Test", "F-score_avg", float(af1[f]), epoch)
+                    self.scalar(f, "Test", "F-score_max", float(mf1[f]), epoch)
+                self._stacked_best_update(best, params, corr, af1, mf1)
+                self._stacked_maybe_save(params, opt_states, rngs, {}, epoch + 1)
+        if start_epoch < int(hps.epochs):
+            self._stacked_maybe_save(params, opt_states, rngs, {},
+                                     int(hps.epochs), force=True)
+        return self._stacked_finalize(
+            best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
+        )
+
+    def _pretrain_chunk_impl(self, opt, loss_fn):
+        """Unjitted pretrain chunk: one `lax.scan` over video groups running
+        loss_fn + the masked pretrain Adam.  `_run_pretrain` jits it;
+        `pretrain_folds` vmaps it over a stacked fold axis."""
+        dp = self._dp_shard()
+
+        def pre_chunk(p, s, feats_a, mask_a, sel, key):
+            def group_step(carry, inp):
+                pc, sc = carry
+                sel_i, key_i = inp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    pc, dp(feats_a[sel_i]), dp(mask_a[sel_i]), key_i
+                )
+                upd, sc = opt.update(grads, sc, pc)
+                return (optax.apply_updates(pc, upd), sc), loss
+
+            xs = (sel, jax.random.split(key, sel.shape[0]))
+            (p, s), losses = jax.lax.scan(group_step, (p, s), xs)
+            return p, s, losses.mean()
+
+        return pre_chunk
+
     def _run_pretrain(self, params, feats, mask, cfg, rng, opt, opt_state, loss_fn, tag):
         """Shared chunked pretrain loop over video groups.  The jitted chunk
         program is cached per (engine, tag): folds share shapes, and the
@@ -318,25 +540,7 @@ class _AdversarialBase(Engine):
         fold (masks depend only on tree structure)."""
         cache = getattr(self, "_pretrain_programs", {})
         if tag not in cache:
-            dp = self._dp_shard()
-
-            @jax.jit
-            def pre_chunk(p, s, feats_a, mask_a, sel, key,
-                          _opt=opt, _loss_fn=loss_fn):
-                def group_step(carry, inp):
-                    pc, sc = carry
-                    sel_i, key_i = inp
-                    loss, grads = jax.value_and_grad(_loss_fn)(
-                        pc, dp(feats_a[sel_i]), dp(mask_a[sel_i]), key_i
-                    )
-                    upd, sc = _opt.update(grads, sc, pc)
-                    return (optax.apply_updates(pc, upd), sc), loss
-
-                xs = (sel, jax.random.split(key, sel.shape[0]))
-                (p, s), losses = jax.lax.scan(group_step, (p, s), xs)
-                return p, s, losses.mean()
-
-            cache[tag] = (opt, pre_chunk)
+            cache[tag] = (opt, jax.jit(self._pretrain_chunk_impl(opt, loss_fn)))
             self._pretrain_programs = cache
         opt, pre_chunk = cache[tag]
         opt_state = opt.init(params)
@@ -396,6 +600,14 @@ class _AdversarialBase(Engine):
             return self._make_epoch_split(
                 (loss_se, loss_d, loss_c), opts
             )
+        return jax.jit(self._make_epoch_scan_impl(phase_losses, opts))
+
+    def _make_epoch_scan_impl(self, phase_losses, opts):
+        """The unjitted fused-scan epoch program (one `lax.scan` over video
+        groups, all three phases inside).  `_make_epoch` jits it;
+        `train_folds` vmaps it over a stacked fold axis first."""
+        opt_se, opt_d, opt_c = opts
+        loss_se, loss_d, loss_c = phase_losses
         remat = bool(int(self.hp.get("remat", 0)))
         if remat:
             loss_se = jax.checkpoint(loss_se)
@@ -404,7 +616,6 @@ class _AdversarialBase(Engine):
 
         dp = self._dp_shard()
 
-        @jax.jit
         def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
             def group_step(carry, inp):
                 params, (s_se, s_d, s_c) = carry
@@ -530,7 +741,7 @@ class SumGANEngine(_AdversarialBase):
         opts = tuple(masked_adam(lr, wd, m) for m in (m_se, m_d, m_c))
         return opts, tuple(o.init(params) for o in opts)
 
-    def pretrain(self, params, feats, targets, mask, cfg, rng):
+    def _pretrain_setup(self, params, cfg):
         """VAE pretraining: recon + KL on the raw sequence (sumgan.py:320-355)."""
         lr, wd = float(self.hps.lr), float(self.hps.weight_decay)
         m_vae = path_mask(params, [("e_lstm",), ("d_lstm",)])
@@ -544,11 +755,9 @@ class SumGANEngine(_AdversarialBase):
             x_hat, (mu, logvar) = sg.vae_forward(p, x, lengths, key, remat=rm)
             return l2_norm_rows(x, x_hat, m) + kl_prior(mu, logvar)
 
-        return self._run_pretrain(
-            params, feats, mask, cfg, rng, opt, opt.init(params), loss_fn, "Lvae"
-        )
+        return opt, loss_fn, "Lvae"
 
-    def make_epoch_fn(self, opts, cfg):
+    def phase_losses(self, cfg):
         sigma, sup = cfg["sigma"], cfg["sup"]
         # Per-stage remat (sg._ck): default on for large video groups, where
         # the full sLSTM->VAE->cLSTM residual chain no longer fits HBM.
@@ -597,7 +806,7 @@ class SumGANEngine(_AdversarialBase):
             )
             return loss, (pr.mean(), pf.mean(), pu.mean())
 
-        return self._make_epoch((loss_se, loss_d, loss_c), opts)
+        return loss_se, loss_d, loss_c
 
 
 # ================================================================== SumGAN-att
@@ -619,7 +828,7 @@ class SumGANAttEngine(_AdversarialBase):
         opts = tuple(masked_adam(lr, wd, m) for m in (m_se, m_d, m_c))
         return opts, tuple(o.init(params) for o in opts)
 
-    def pretrain(self, params, feats, targets, mask, cfg, rng):
+    def _pretrain_setup(self, params, cfg):
         """AE pretraining at lr*10: ||x - x_hat|| (sumgan_att.py:195-230)."""
         lr, wd = float(self.hps.lr) * 10.0, float(self.hps.weight_decay)
         hp = self.hp
@@ -631,11 +840,9 @@ class SumGANAttEngine(_AdversarialBase):
             x_hat = sga.ae_apply(p["ae"], x, m, heads, key, True)
             return l2_norm_rows(x, x_hat, m)
 
-        return self._run_pretrain(
-            params, feats, mask, cfg, rng, opt, opt.init(params), loss_fn, "Lae"
-        )
+        return opt, loss_fn, "Lae"
 
-    def make_epoch_fn(self, opts, cfg):
+    def phase_losses(self, cfg):
         sup = cfg["sup"]
         hp = self.hp
         bs = max(1, int(self.hp.get("batch_size", self.hps.batch_size)))
@@ -673,4 +880,4 @@ class SumGANAttEngine(_AdversarialBase):
             loss = jnp.mean(-pr + 0.5 * (pf + pu))
             return loss, (pr.mean(), pf.mean(), pu.mean())
 
-        return self._make_epoch((loss_se, loss_d, loss_c), opts)
+        return loss_se, loss_d, loss_c

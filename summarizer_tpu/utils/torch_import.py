@@ -322,6 +322,10 @@ def import_state_dict(model: str, state_dict: dict, hp: dict | None = None):
         )
     sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
     hp = {**infer_hp(model, sd), **(hp or {})}
+    # The import rules address per-layer ("layers", i) paths; build the
+    # template in the list layout and convert to the scan_layers stacked
+    # layout at the end if the caller trains with it.
+    want_scan = bool(int(hp.pop("scan_layers", 0) or 0))
     tpl = get_model(model).module.init(jax.random.PRNGKey(0), hp)
     rules = _RULES[model](tpl)
 
@@ -345,6 +349,10 @@ def import_state_dict(model: str, state_dict: dict, hp: dict | None = None):
     unknown = sorted(set(sd) - seen)
     if unknown:
         raise KeyError(f"{model}: unrecognized state_dict keys: {unknown[:8]}")
+    if want_scan and isinstance(tpl.get("layers"), list):
+        from summarizer_tpu.models.transformer import stack_layers
+
+        tpl["layers"] = stack_layers(tpl["layers"])
     return tpl
 
 
@@ -357,6 +365,11 @@ def export_state_dict(model: str, params) -> dict:
         raise KeyError(
             f"cannot export weights for model {model!r}; choose from {IMPORTABLE}"
         )
+    if isinstance(params, dict) and isinstance(params.get("layers"), dict):
+        # scan_layers stacked layout -> per-layer list for the export rules
+        from summarizer_tpu.models.transformer import unstack_layers
+
+        params = {**params, "layers": unstack_layers(params["layers"])}
     sd = {}
     for torch_key, path, kind, _mode in _RULES[model](params):
         v = np.asarray(_get(params, path), dtype=np.float32)

@@ -52,6 +52,30 @@ def test_device_eval_matches_oracle_knapsack(synth_records):
     _run(synth_records, "knapsack")
 
 
+def test_device_eval_asymmetric_user_counts(synth_records):
+    """Real SumMe pairs MANY /user_summary annotators with ONE /user_scores
+    pseudo-user (datasets/README.md:54-74); F1 must average over the summary
+    annotators, not the score users.  Regression for the egress-rehearsal
+    finding: the device eval used n_users (score users) to mask both."""
+    records = []
+    for r in synth_records:
+        records.append(
+            r._replace(user_scores=r.user_scores[:1])
+            if hasattr(r, "_replace")
+            else r
+        )
+    if not hasattr(synth_records[0], "_replace"):
+        import dataclasses
+
+        records = [
+            dataclasses.replace(r, user_scores=r.user_scores[:1])
+            for r in synth_records
+        ]
+    assert records[0].user_scores.shape[0] == 1
+    assert records[0].user_summary.shape[0] > 1
+    _run(records, "knapsack")
+
+
 def test_device_eval_matches_oracle_rank(synth_records):
     _run(synth_records, "rank")
 

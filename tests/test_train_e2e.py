@@ -488,6 +488,101 @@ def test_fold_parallel_resume_roundtrip(tmp_path, synth_h5, model, extra):
     assert "Resumed stacked folds at epoch 2" in log_text
 
 
+_GAN_TINY = {
+    "input_size": 64,
+    "sLSTM_hidden_size": 16,
+    "edLSTM_hidden_size": 24,
+    "cLSTM_hidden_size": 16,
+    "pretrain_vae": 1,
+    "batch_size": 2,
+}
+
+
+def test_fold_parallel_sumgan_matches_sequential(tmp_path, synth_h5):
+    """--fold_parallel for the ADVERSARIAL engine (train/adversarial.py::
+    train_folds): all folds' 3-phase updates (+ the VAE pretrain) run as one
+    vmapped program drawing the sequential path's exact per-fold key
+    streams; CV metrics must agree up to float reassociation of the
+    fold-stacked matmuls."""
+    from summarizer_tpu.train.loop import train
+
+    hps_seq, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", dict(_GAN_TINY), epochs=3,
+        log_dir=str(tmp_path / "gan_seq_logs"),
+    )
+    seq = train(hps_seq)
+    hps_par, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", dict(_GAN_TINY), epochs=3,
+        fold_parallel=1, log_dir=str(tmp_path / "gan_par_logs"),
+    )
+    par = train(hps_par)
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(par[0][i] - seq[0][i]) < 0.02, (par, seq)
+
+
+def test_fold_parallel_sumgan_att_runs(tmp_path, synth_h5):
+    from summarizer_tpu.train.loop import train
+
+    extra = {
+        "input_size": 64, "cLSTM_hidden_size": 16, "pretrain_ae": 1,
+        "batch_size": 2, "s_encoder_layers": 1, "ae_encoder_layers": 1,
+        "ae_decoder_layers": 1,
+    }
+    hps, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan_att", extra, epochs=2, fold_parallel=1,
+        log_dir=str(tmp_path / "ganatt_par_logs"), log_level="info",
+    )
+    res = train(hps)
+    assert np.isfinite(res[0][1])
+    log_text = open(os.path.join(str(tmp_path / "ganatt_par_logs"), "train.log")).read()
+    assert "trained fold-parallel" in log_text
+
+
+def test_fold_parallel_sumgan_resume_roundtrip(tmp_path, synth_h5):
+    """Stacked GAN state (params + 3 masked-Adam chains + rngs, one file)
+    checkpoints and resumes — the sweep's retry-as-resume path for
+    fold-parallel GANs."""
+    import glob
+
+    from summarizer_tpu.train.loop import train
+
+    log_dir = str(tmp_path / "gan_fp_resume_logs")
+    hps1, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", dict(_GAN_TINY),
+        fold_parallel=1, resume=True, epochs=2, test_every_epochs=1,
+        log_dir=log_dir,
+    )
+    train(hps1)
+    states = glob.glob(os.path.join(log_dir, "*stacked.ckpt"))
+    assert states, f"no stacked state written in {log_dir}"
+    hps2, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", dict(_GAN_TINY),
+        fold_parallel=1, resume=True, epochs=4, test_every_epochs=1,
+        log_dir=log_dir, log_level="info",
+    )
+    res = train(hps2)
+    assert np.isfinite(res[0][1])
+    log_text = open(os.path.join(log_dir, "train.log")).read()
+    assert "Resumed stacked folds at epoch 2" in log_text
+
+
+def test_fold_parallel_gan_hbm_guard_falls_back(tmp_path, synth_h5):
+    """A stacked GAN state bigger than the HBM budget must fall back to the
+    sequential path (not OOM mid-run)."""
+    from summarizer_tpu.train.loop import train
+
+    extra = dict(_GAN_TINY, fold_parallel_hbm_gb=1e-6)
+    hps, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra, epochs=2, fold_parallel=1,
+        log_dir=str(tmp_path / "gan_guard_logs"), log_level="info",
+    )
+    res = train(hps)
+    assert np.isfinite(res[0][1])
+    log_text = open(os.path.join(str(tmp_path / "gan_guard_logs"), "train.log")).read()
+    assert "exceeds the" in log_text  # guard fired
+    assert "trained fold-parallel" not in log_text
+
+
 def test_fold_parallel_falls_back_on_unequal_folds(tmp_path, synth_h5):
     """Unequal fold sizes can't stack; train() must silently use the
     sequential path and still return real results."""
