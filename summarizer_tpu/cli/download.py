@@ -27,18 +27,24 @@ def main(argv=None):
         # (name, videos, users, min/max feature steps). LOL mimics the real
         # dataset's shape: 318 videos, a single annotator, much longer videos
         # (Twitch-LOL, datasets/README.md:50-74; Summarizer.pdf §2.2).
+        # (name, videos, users, min/max steps, planted signal strength).
+        # LOL plants a recoverable dataset-global signal (VERDICT r2 item 7)
+        # so its benchmark column regresses quality, not just scale; the
+        # summe/tvsum fixtures stay on the legacy generator so their pinned
+        # parity/benchmark numbers remain reproducible.
         configs = (
-            ("summe", 25, 15, 100, 650),
-            ("tvsum", args.videos, 20, 100, 650),
-            ("LOL", 318, 1, 800, 3200),
+            ("summe", 25, 15, 100, 650, 0.0),
+            ("tvsum", args.videos, 20, 100, 650, 0.0),
+            ("LOL", 318, 1, 800, 3200, 0.3),
         )
-        for name, n, users, lo, hi in configs:
+        for name, n, users, lo, hi, planted in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
             write_synthetic_dataset(
                 # crc32, not hash(): the latter is salted per interpreter run
                 # and would make "identical" datasets differ between calls.
                 path, n_videos=n, seed=zlib.crc32(name.encode()) % 2**31,
                 n_users=users, min_steps=lo, max_steps=hi, name=name,
+                planted_signal=planted,
             )
             print(f"synthetic -> {path}")
         return

@@ -53,12 +53,17 @@ MIN_PALLAS_WEIGHT_ELEMS = 1 << 21  # ~2M: below this the scan's weight re-read
 # 256-wide BiLSTM); above it (the SumGAN 1024/2048 nets) persistence wins.
 
 
-def _pallas_path(w_hh=None) -> bool:
+def _pallas_path(w_hh=None, batch=None) -> bool:
     """Persistent-weight Pallas scans replace the XLA scans on TPU; the int8
     streaming mode keeps the XLA/qdot path (its weights are re-quantized per
-    read, not resident)."""
-    from summarizer_tpu.nn.rnn_pallas import _state, pallas_rnn_enabled
+    read, not resident).  Under an active dp shard context the kernel runs
+    shard_map'ed over the dp axis (rnn_pallas.shard_rnn_over) — possible only
+    when dp divides the batch; otherwise fall back to the (GSPMD-shardable)
+    XLA scan."""
+    from summarizer_tpu.nn.rnn_pallas import _state, pallas_rnn_enabled, shard_divides
 
+    if batch is not None and not shard_divides(batch):
+        return False
     if getattr(_state, "forced", None) is not None:
         # test hook: force_pallas_rnn bypasses the size heuristic
         return pallas_rnn_enabled() and not int8_enabled()
@@ -101,7 +106,7 @@ def _layer_fwd_impl(w_ih, w_hh, b, x):
     s, bsz, t, _ = x.shape
     h4 = w_hh.shape[-1]
     hidden = h4 // 4
-    if _pallas_path(w_hh):
+    if _pallas_path(w_hh, bsz):
         # Persistent-weight Pallas scan: W_hh is fetched into VMEM once and
         # stays resident across all T grid steps (nn/rnn_pallas.py) — the
         # XLA scan below re-streams it from HBM every timestep.
@@ -180,7 +185,7 @@ def _lstm_layer_core_bwd(res, g):
     w_hh_c = w_hh.astype(cd)
     s, bsz, t, hidden = cs_c.shape
 
-    if _pallas_path(w_hh):
+    if _pallas_path(w_hh, bsz):
         from summarizer_tpu.nn import rnn_pallas
 
         sw = lambda a: jnp.swapaxes(a, 1, 2)  # (S,B,T,·) <-> (S,T,B,·)
@@ -269,12 +274,15 @@ def lstm_layer_lean_bidir(pf, pb, x, lengths, masked_reverse):
 # encoder heads — via the reverse-scan carries.
 
 
-def _pallas_int8_decode() -> bool:
+def _pallas_int8_decode(batch=None) -> bool:
     """The int8 decode runs fully VMEM-resident as a Pallas kernel on TPU:
     all four decoder matrices fit at int8 (67 MB), so per-step HBM weight
-    traffic drops to zero (nn/rnn_pallas.dlstm_decode_fwd_int8)."""
-    from summarizer_tpu.nn.rnn_pallas import pallas_rnn_enabled
+    traffic drops to zero (nn/rnn_pallas.dlstm_decode_fwd_int8).  Shard-
+    mapped over dp when a shard context is active and divides the batch."""
+    from summarizer_tpu.nn.rnn_pallas import pallas_rnn_enabled, shard_divides
 
+    if batch is not None and not shard_divides(batch):
+        return False
     return int8_enabled() and pallas_rnn_enabled()
 
 
@@ -337,7 +345,7 @@ def _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max):
 
 
 def _dlstm_core(w_ih, w_hh, b, h0, c0, t_max: int):
-    if _pallas_int8_decode():
+    if _pallas_int8_decode(h0.shape[1]):
         tops, _, _ = _decode_fwd_pallas_int8(w_ih, w_hh, b, h0, c0, t_max)
         return jnp.swapaxes(tops, 0, 1)
     _, hs, _ = _decode_fwd_impl(w_ih, w_hh, b, h0, c0, t_max)
@@ -349,7 +357,7 @@ _dlstm_core = jax.custom_vjp(_dlstm_core, nondiff_argnums=(5,))
 
 def _dlstm_core_fwd(w_ih, w_hh, b, h0, c0, t_max):
     cd = _compute_dtype(w_hh)
-    if _pallas_int8_decode():
+    if _pallas_int8_decode(h0.shape[1]):
         tops_t, zs, cs = _decode_fwd_pallas_int8(w_ih, w_hh, b, h0, c0, t_max)
         tops = jnp.swapaxes(tops_t, 0, 1)
     else:

@@ -402,13 +402,17 @@ class Engine:
         import contextlib
 
         ctx = contextlib.ExitStack()
-        if int(getattr(self.hps, "data_parallel", 0) or 0) > 1:
-            # GSPMD cannot partition a pallas_call custom-call over the dp
-            # mesh; keep the (shardable) XLA scans when videos are sharded
-            # across devices.
-            from summarizer_tpu.nn.rnn_pallas import force_pallas_rnn
+        dp_n = int(getattr(self.hps, "data_parallel", 0) or 0)
+        if dp_n > 1:
+            # GSPMD cannot partition a pallas_call custom-call, but the RNN
+            # kernels are batch-independent: run them shard_map'ed over the
+            # dp axis so multi-chip GAN training keeps the persistent-weight
+            # scans (VERDICT r2 item 6).  Batches that dp does not divide
+            # fall back to the XLA scan inside rnn_lean._pallas_path.
+            from summarizer_tpu.nn.rnn_pallas import shard_rnn_over
+            from summarizer_tpu.parallel.mesh import make_mesh
 
-            ctx.enter_context(force_pallas_rnn(False))
+            ctx.enter_context(shard_rnn_over(make_mesh(dp_n, dp=dp_n, tp=1), "dp"))
         use_int8 = int(self.hp.get("int8", 0))
         if use_int8 or int(self.hp.get("bf16", 0)):
             from summarizer_tpu.nn.policy import rnn_compute
