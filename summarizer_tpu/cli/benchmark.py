@@ -75,27 +75,27 @@ MODEL_CONFIGS = [
     # re-streaming costs more than the residual memory it saves
     # (BENCH_NOTES: 19.5 videos/s int8/group-24/remat-0 vs 12.3 bf16/20) —
     # and bucket=0 (one cached 3-phase executable per dataset).
-    # resume_light=1: the tunnel moves ~20 MB/s, so a 2.3 GB full train
-    # state costs ~2 min per save/upload — longer than the flaky worker
-    # often survives.  Params-only states (~760 MB) land reliably; a
-    # resumed fold restarts its Adam moments (documented benchmark-mode
-    # tradeoff).  SumGAN stays fold-sequential: its stacked 5-fold state is
-    # ~11.7 GB (train/adversarial.py::_fold_parallel_fits would refuse).
+    # Crash-recovery states are saved FULL (params + all 3 masked-Adam
+    # chains) as sharded per-component files (train/resume.py::
+    # save_state_sharded): the moments stream over the tunnel one component
+    # at a time off the critical path, and a resumed fold bit-matches an
+    # uninterrupted one (strict resume, VERDICT r2 item 8).  SumGAN stays
+    # fold-sequential: its stacked 5-fold state is ~11.7 GB
+    # (train/adversarial.py::_fold_parallel_fits would refuse).
     ("SumGAN", {"model": "sumgan", "epochs": 20,
                 "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                  "int8": 1, "remat": 0, "scan_chunk": 2,
-                                 "bucket": 0, "resume_light": 1}}),
+                                 "bucket": 0}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                      "int8": 1, "remat": 0, "scan_chunk": 2,
-                                     "sup": 1, "bucket": 0,
-                                     "resume_light": 1}}),
+                                     "sup": 1, "bucket": 0}}),
     # SumGAN-att is 48 M params (2.9 GB stacked) — the 5 folds train as one
     # vmapped program (train/adversarial.py::train_folds).
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "fold_parallel": 1,
                     "extra_params": {"batch_size": 10, "pretrain_ae": 20,
                                      "bf16": 1, "scan_chunk": 2, "bucket": 0,
-                                     "remat": 0, "resume_light": 1}}),
+                                     "remat": 0}}),
 ]
 
 # Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's

@@ -476,13 +476,26 @@ class Engine:
             prior.join()  # forced saves must land (fold-end state)
         if not force and now - last < max(min_interval_s, 3.0 * cost):
             return
-        from summarizer_tpu.train.resume import save_state
+        from summarizer_tpu.train.resume import (save_state,
+                                                 save_state_sharded,
+                                                 state_nbytes)
 
-        light = bool(int(self.hp.get("resume_light", 0)))
+        if int(self.hp.get("resume_light", 0)) and not getattr(
+            self, "_warned_resume_light", False
+        ):
+            # resume_light used to drop the Adam moments from the payload; a
+            # resumed fold restarted its optimizer dynamics.  Sharded full-
+            # state saves (VERDICT r2 item 8) stream the moments per
+            # component instead, so resume is strict-parity at similar cost.
+            self._warned_resume_light = True
+            logging.warning("--resume_light is deprecated and ignored: "
+                            "full state is saved sharded (strict resume)")
+        shard_mb = float(self.hp.get("resume_shard_mb", 64))
+        sharded = state_nbytes(state) > shard_mb * 2**20
 
         def _do():
             t0 = _time.monotonic()
-            save_state(path, state, light=light)
+            (save_state_sharded if sharded else save_state)(path, state)
             self._last_state_save_cost = _time.monotonic() - t0
             if self._last_state_save_cost > 10.0:
                 logging.info(

@@ -65,3 +65,60 @@ def test_old_format_full_payload_loads(tmp_path):
     r = load_state(p, TrainState(params, s0, rng=jnp.zeros(2, jnp.uint32)))
     assert r.epoch == 3
     np.testing.assert_allclose(_mu(r.opt_state), _mu(s1))
+
+
+def test_sharded_round_trip_tuple_opt(tmp_path):
+    """save_state_sharded: params + EACH optimizer chain in its own part
+    file, manifest last; load_state auto-detects and restores the full
+    state (Adam moments included) bit-exactly. VERDICT r2 item 8."""
+    import os
+
+    from summarizer_tpu.train.resume import save_state_sharded
+
+    params, s0, s1 = _setup()
+    opt2 = optax.adam(2e-3)
+    t0 = opt2.init(params)
+    _, t1 = opt2.update({"w": jnp.full((2, 3), 0.5)}, t0, params)
+    p = str(tmp_path / "sharded.ckpt")
+    save_state_sharded(
+        p, TrainState(params, (s1, t1), epoch=5, rng=jnp.zeros(2, jnp.uint32))
+    )
+    assert os.path.isdir(p + ".d")
+    names = sorted(os.listdir(p + ".d"))
+    assert names == ["e5_head.msgpack", "e5_opt0.msgpack",
+                     "e5_opt1.msgpack", "e5_params.msgpack"], names
+    r = load_state(p, TrainState(params, (s0, t0), rng=jnp.zeros(2, jnp.uint32)))
+    assert r.epoch == 5
+    np.testing.assert_array_equal(_mu(r.opt_state[0]), _mu(s1))
+    np.testing.assert_array_equal(_mu(r.opt_state[1]), _mu(t1))
+    np.testing.assert_array_equal(np.asarray(r.params["w"]),
+                                  np.asarray(params["w"]))
+
+
+def test_sharded_crash_mid_save_keeps_previous(tmp_path):
+    """A crash AFTER new parts land but BEFORE the manifest replace must
+    leave the previous checkpoint fully loadable (the manifest still names
+    the old epoch's parts); the next complete save prunes stale parts."""
+    import os
+
+    from summarizer_tpu.train.resume import save_state_sharded
+
+    params, s0, s1 = _setup()
+    p = str(tmp_path / "crash.ckpt")
+    save_state_sharded(p, TrainState(params, s1, epoch=2,
+                                     rng=jnp.zeros(2, jnp.uint32)))
+    # Simulate the torn next save: epoch-3 part files exist, manifest not
+    # yet replaced.
+    import flax.serialization
+
+    for n in ("params", "opt0", "head"):
+        with open(os.path.join(p + ".d", f"e3_{n}.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes({"torn": np.zeros(1)}))
+    r = load_state(p, TrainState(params, s0, rng=jnp.zeros(2, jnp.uint32)))
+    assert r.epoch == 2
+    np.testing.assert_array_equal(_mu(r.opt_state), _mu(s1))
+    # A completed save prunes everything the new manifest does not name.
+    save_state_sharded(p, TrainState(params, s1, epoch=4,
+                                     rng=jnp.zeros(2, jnp.uint32)))
+    left = sorted(os.listdir(p + ".d"))
+    assert all(f.startswith("e4_") for f in left), left
