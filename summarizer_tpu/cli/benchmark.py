@@ -85,17 +85,18 @@ MODEL_CONFIGS = [
     ("SumGAN", {"model": "sumgan", "epochs": 20,
                 "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                  "int8": 1, "remat": 0, "scan_chunk": 2,
-                                 "bucket": 0}}),
+                                 "bucket": 0, "resume_final_light": 1}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                      "int8": 1, "remat": 0, "scan_chunk": 2,
-                                     "sup": 1, "bucket": 0}}),
+                                     "sup": 1, "bucket": 0,
+                                     "resume_final_light": 1}}),
     # SumGAN-att is 48 M params (2.9 GB stacked) — the 5 folds train as one
     # vmapped program (train/adversarial.py::train_folds).
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "fold_parallel": 1,
                     "extra_params": {"batch_size": 10, "pretrain_ae": 20,
                                      "bf16": 1, "scan_chunk": 2, "bucket": 0,
-                                     "remat": 0}}),
+                                     "remat": 0, "resume_final_light": 1}}),
 ]
 
 # Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's
@@ -130,15 +131,15 @@ DATASET_OVERRIDES = {
         # hour on one chip.
         "SumGAN": {"epochs": 3, "test_every_epochs": 2,
                    "extra_params": {"batch_size": 10, "pretrain_vae": 2,
-                                    "remat": 1, "bucket": 1, "split_phases": 1}},
+                                    "remat": 1, "bucket": 1, "split_phases": 1, "resume_final_light": 1}},
         "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 10, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
-                                        "split_phases": 1}},
+                                        "split_phases": 1, "resume_final_light": 1}},
         "SumGAN-att": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 10, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
-                                        "split_phases": 1}},
+                                        "split_phases": 1, "resume_final_light": 1}},
     },
 }
 

@@ -223,6 +223,11 @@ class _AdversarialBase(Engine):
             params, opt_states = st.params, st.opt_state
             rng, start_epoch = jnp.asarray(st.rng), st.epoch
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            if st.light and start_epoch < int(hps.epochs):
+                self.log.warning(
+                    "resumed from a params-only fold-complete record with "
+                    "epochs left to train: optimizer moments restart"
+                )
             self.heartbeat()
         elif getattr(hps, "resume", False) and cfg["pretrain_epochs"] > 0:
             # Snapshot the post-pretrain state immediately: under the flaky
@@ -281,7 +286,12 @@ class _AdversarialBase(Engine):
                 best.best_max_f1 = max(best.best_max_f1, mf1)
                 if corr > best.best_corr:
                     best.best_corr = corr
-                    best.best_params = jax.device_get(params)
+                    # Device-resident snapshot: a device_get here pulled the
+                    # full ~760 MB GAN params through the 20 MB/s tunnel per
+                    # improvement (up to eval-cadence times per fold).  The
+                    # epoch programs don't donate buffers, so the reference
+                    # stays valid; the one pull happens at weights-save time.
+                    best.best_params = params
                 if getattr(hps, "resume", False):
                     from summarizer_tpu.train.resume import TrainState
 
@@ -300,7 +310,7 @@ class _AdversarialBase(Engine):
                 state_path,
                 TrainState(params=params, opt_state=opt_states,
                            epoch=int(hps.epochs), rng=rng),
-                force=True,
+                force=True, final=True,
             )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
@@ -308,7 +318,7 @@ class _AdversarialBase(Engine):
             # real instead of the sentinel.
             rng, k_fin = jax.random.split(rng)
             corr, af1, mf1 = eval_fn(params, k_fin)
-            best = FoldResult(corr, af1, mf1, jax.device_get(params))
+            best = FoldResult(corr, af1, mf1, params)  # device-resident
         return best
 
     def pretrain(self, params, feats, targets, mask, cfg, rng):
@@ -506,7 +516,7 @@ class _AdversarialBase(Engine):
                 self._stacked_maybe_save(params, opt_states, rngs, {}, epoch + 1)
         if start_epoch < int(hps.epochs):
             self._stacked_maybe_save(params, opt_states, rngs, {},
-                                     int(hps.epochs), force=True)
+                                     int(hps.epochs), force=True, final=True)
         return self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )

@@ -310,9 +310,12 @@ class Engine:
             b.best_max_f1 = max(b.best_max_f1, float(mf1[f]))
             if float(corr[f]) > b.best_corr:
                 b.best_corr = float(corr[f])
-                b.best_params = jax.device_get(
-                    jax.tree.map(lambda x: x[f], params)
-                )
+                # Device-resident snapshot: the slice is an on-device gather;
+                # pulling it through the tunnel here cost one device_get per
+                # improvement per fold (~190 MB for SumGAN-att).  The single
+                # pull happens at save time (train/loop.py saves the best
+                # fold's weights once per splits file).
+                b.best_params = jax.tree.map(lambda x: x[f], params)
 
     def _stacked_opt_init(self, optimizer, params, k_folds: int):
         """Stacked optimizer states.  Non-trainable zoo members (Random)
@@ -353,11 +356,16 @@ class Engine:
                        extras=extras),
         )
         self.log.info(f"Resumed stacked folds at epoch {st.epoch}")
+        if st.light and st.epoch < int(self.hps.epochs):
+            self.log.warning(
+                "resumed from a params-only fold-complete record with epochs "
+                "left to train: optimizer moments restart"
+            )
         self.heartbeat()
         return st.params, st.opt_state, jnp.asarray(st.rng), st.extras, st.epoch
 
     def _stacked_maybe_save(self, params, opt_state, rngs, extras, epoch,
-                            force=False):
+                            force=False, final=False):
         """Wall-gated async save of the stacked state (see maybe_save_state);
         no-op unless --resume is set."""
         if not getattr(self.hps, "resume", False):
@@ -368,7 +376,7 @@ class Engine:
             self._stacked_state_path(),
             TrainState(params=params, opt_state=opt_state, epoch=epoch,
                        rng=rngs, extras=extras),
-            force=force,
+            force=force, final=final,
         )
 
     def _stacked_finalize(self, best, params, rngs, eval_multi, eval_feats,
@@ -386,7 +394,7 @@ class Engine:
             if best[f].best_params is None:
                 best[f] = FoldResult(
                     float(corr[f]), float(af1[f]), float(mf1[f]),
-                    jax.device_get(jax.tree.map(lambda x: x[f], params)),
+                    jax.tree.map(lambda x: x[f], params),  # device-resident
                 )
         return best
 
@@ -454,7 +462,7 @@ class Engine:
         )
 
     def maybe_save_state(self, path, state, min_interval_s: float = 150.0,
-                         force: bool = False):
+                         force: bool = False, final: bool = False):
         """Save train state for crash recovery, wall-gated: GAN states are
         multi-GB (3 Adam chains over ~190M params), so saving at every test
         epoch costs more than the training it protects.  The gate adapts:
@@ -493,9 +501,21 @@ class Engine:
         shard_mb = float(self.hp.get("resume_shard_mb", 64))
         sharded = state_nbytes(state) > shard_mb * 2**20
 
+        # ``final`` marks a fold-COMPLETE record (epoch == hps.epochs): a
+        # retry only needs it to skip the fold, so with the opt-in
+        # ``resume_final_light`` (set by the benchmark sweep, whose retries
+        # never extend epochs) it drops the Adam moments — 2/3 of a GAN's
+        # 2.2 GB state through the 20 MB/s tunnel device_get.  The default
+        # keeps FULL state so a completed run resumed with a larger epoch
+        # budget continues with exact moments (strict resume).
+        light = final and bool(int(self.hp.get("resume_final_light", 0)))
+
         def _do():
             t0 = _time.monotonic()
-            (save_state_sharded if sharded else save_state)(path, state)
+            if light:
+                save_state(path, state, light=True)
+            else:
+                (save_state_sharded if sharded else save_state)(path, state)
             self._last_state_save_cost = _time.monotonic() - t0
             if self._last_state_save_cost > 10.0:
                 logging.info(
@@ -503,20 +523,24 @@ class Engine:
                 )
 
         self._last_state_save = now
-        if force:
-            # Synchronous: the caller is about to finish the fold (or the
-            # process); the state must be on disk when it returns.
-            _do()
-            self._save_thread = None
-        else:
-            # Asynchronous: the device_get of a multi-GB GAN state over the
-            # tunnel takes minutes; overlap it with the next epochs.  jax
-            # arrays are immutable, so the snapshot is consistent, and the
-            # .tmp + os.replace in save_state keeps a crash from leaving a
-            # torn file.
-            th = threading.Thread(target=_do, daemon=True)
-            th.start()
-            self._save_thread = th
+        # ALL saves are asynchronous: the device_get of a multi-GB GAN state
+        # over the tunnel takes minutes; a synchronous fold-end save stalled
+        # every GAN fold ~2 min.  jax arrays are immutable, so the snapshot
+        # is consistent; .tmp + os.replace keeps a crash from leaving a torn
+        # file; and train/loop.py calls flush_saves() before reporting a
+        # splits file, so states are durable before a BENCHROW is emitted.
+        # Forced saves first join the previous in-flight save (same path —
+        # ordering matters), which by fold end has long since landed.
+        th = threading.Thread(target=_do, daemon=True)
+        th.start()
+        self._save_thread = th
+
+    def flush_saves(self):
+        """Join any in-flight async state save (loop.py calls this at the
+        end of each splits file, before results are reported)."""
+        th = getattr(self, "_save_thread", None)
+        if th is not None and th.is_alive():
+            th.join()
 
     def heartbeat(self):
         """Touch ``<log_path>/heartbeat`` from the MAIN thread at real

@@ -104,17 +104,22 @@ def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
 def train(hps):
     """Train across all split files; returns [(splits_file, corr, avg, max)]
     (ref: summarizer/main.py:10-72)."""
+    import time as _time
+
     results = []
     for sf in hps.splits_files:
         hps.logger.info(f"Start training on {sf}")
+        _t0 = _time.perf_counter()
         dataset = SummarizerDataset(hps.dataset_of_file[sf])
         dataset_name = hps.dataset_name_of_file[sf]
         engine = make_engine(hps, dataset, dataset_name)
         folds = hps.splits_of_file[sf]
+        _t_setup = _time.perf_counter()
 
         weights_path = hps.weights_path[sf]
         corrs, af1s, mf1s = [], [], []
         corr_max = -1.0
+        best_fold_params = None
         # --fold_parallel: all folds as one vmapped program (supervised
         # engines; falls back to the sequential path when it can't stack).
         fold_results = None
@@ -139,7 +144,11 @@ def train(hps):
             mf1s.append(res.best_max_f1)
             if res.best_corr > corr_max:
                 corr_max = res.best_corr
-                save_params(weights_path, res.best_params)
+                # Defer the weights write to after the fold loop: best_params
+                # may be a device-resident snapshot (GAN params are ~760 MB;
+                # the 20 MB/s tunnel device_get must happen once per splits
+                # file, not once per improved fold).
+                best_fold_params = res.best_params
             hps.logger.info(
                 f"File: {sf}   Fold: {fold + 1}/{len(folds)}   "
                 f"Corr: {res.best_corr: 0.5f}  "
@@ -147,6 +156,10 @@ def train(hps):
                 f"Max F-score: {res.best_max_f1:0.5f}"
             )
 
+        if best_fold_params is not None:
+            save_params(weights_path, best_fold_params)
+        engine.flush_saves()  # async state saves land before results report
+        _t_train = _time.perf_counter()
         hps.logger.info(
             f"File: {sf}   Cross-validation Corr: {np.mean(corrs): 0.5f}  "
             f"Avg F-score: {np.mean(af1s):0.5f}  Max F-score: {np.mean(mf1s):0.5f}"
@@ -174,6 +187,12 @@ def train(hps):
         best_params = load_params(weights_path, template)
         predict_dataset(engine, best_params, hps.pred_path[sf])
         hps.logger.info(f"File: {sf}   Machine predictions: {hps.pred_path[sf]}")
+        _t_pred = _time.perf_counter()
+        hps.logger.info(
+            f"File: {sf}   phase walls: setup {_t_setup - _t0:.1f}s  "
+            f"train+eval {_t_train - _t_setup:.1f}s  "
+            f"predict {_t_pred - _t_train:.1f}s"
+        )
 
         results.append((sf, float(np.mean(corrs)), float(np.mean(af1s)), float(np.mean(mf1s))))
     return results

@@ -363,7 +363,7 @@ class ReinforceEngine(Engine):
         if start_epoch < int(hps.epochs):
             self._stacked_maybe_save(
                 params, opt_state, rngs, {"baselines": baselines},
-                int(hps.epochs), force=True,
+                int(hps.epochs), force=True, final=True,
             )
         return self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
@@ -445,12 +445,12 @@ class ReinforceEngine(Engine):
                         # per-epoch resume loads a matching shape.
                         extras={"baselines": baselines[0][fold_idx[0]]},
                     ),
-                    force=True,
+                    force=True, final=True,
                 )
         else:
             self._stacked_maybe_save(
                 params, opt_state, rngs, {"baselines": baselines}, epochs,
-                force=True,
+                force=True, final=True,
             )
         t0 = _time.time()
         best_params = jax.device_get(best_params)
@@ -557,6 +557,11 @@ class ReinforceEngine(Engine):
             rng, start_epoch = jnp.asarray(st.rng), st.epoch
             baselines = jnp.asarray(st.extras["baselines"])
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            if st.light and start_epoch < int(hps.epochs):
+                self.log.warning(
+                    "resumed from a params-only fold-complete record with "
+                    "epochs left to train: optimizer moments restart"
+                )
             self.heartbeat()
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
@@ -608,7 +613,7 @@ class ReinforceEngine(Engine):
                 best.best_max_f1 = max(best.best_max_f1, mf1)
                 if corr > best.best_corr:
                     best.best_corr = corr
-                    best.best_params = jax.device_get(params)
+                    best.best_params = params  # device-resident; pulled once at save
                 if getattr(hps, "resume", False):
                     from summarizer_tpu.train.resume import TrainState
 
@@ -628,7 +633,7 @@ class ReinforceEngine(Engine):
                 TrainState(params=params, opt_state=opt_state,
                            epoch=int(hps.epochs), rng=rng,
                            extras={"baselines": baselines}),
-                force=True,
+                force=True, final=True,
             )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the

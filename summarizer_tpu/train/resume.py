@@ -26,6 +26,11 @@ class TrainState:
     epoch: int = 0
     rng: Any = None
     extras: dict = field(default_factory=dict)  # e.g. DSN baselines
+    # Set by load_state when the checkpoint carried no optimizer state (a
+    # params-only fold-complete record): the opt_state is the template's
+    # fresh one.  Callers that continue training from such a state should
+    # warn — the moments restart (see Engine.maybe_save_state ``final``).
+    light: bool = False
 
 
 def state_nbytes(state: TrainState) -> int:
@@ -190,4 +195,5 @@ def load_state(path: str, template: TrainState) -> TrainState:
         epoch=int(raw["epoch"]),
         rng=restore(rng_t, raw["rng"]),
         extras=restore(template.extras, raw.get("extras", {})),
+        light="opt_state" not in raw,
     )

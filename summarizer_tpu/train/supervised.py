@@ -396,7 +396,8 @@ class SupervisedEngine(Engine):
 
         if start_epoch < int(hps.epochs):
             self._stacked_maybe_save(
-                params, opt_state, rngs, {}, int(hps.epochs), force=True
+                params, opt_state, rngs, {}, int(hps.epochs), force=True,
+                final=True,
             )
         best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
@@ -489,11 +490,11 @@ class SupervisedEngine(Engine):
                         opt_state=jax.tree.map(lambda x: x[0], opt_state),
                         epoch=epochs, rng=rngs[0],
                     ),
-                    force=True,
+                    force=True, final=True,
                 )
         else:
             self._stacked_maybe_save(params, opt_state, rngs, {}, epochs,
-                                     force=True)
+                                     force=True, final=True)
         _t0 = _time.time()
         best_params = jax.device_get(best_params)
         self.log.debug(f"fused CV best-params pull: {_time.time() - _t0:.1f} s")
@@ -621,6 +622,11 @@ class SupervisedEngine(Engine):
             params, opt_state, rng = st.params, st.opt_state, jnp.asarray(st.rng)
             start_epoch = st.epoch
             self.log.info(f"Resumed fold {fold} at epoch {start_epoch}")
+            if st.light and start_epoch < int(hps.epochs):
+                self.log.warning(
+                    "resumed from a params-only fold-complete record with "
+                    "epochs left to train: optimizer moments restart"
+                )
             self.heartbeat()
 
         best = FoldResult(-1.0, 0.0, 0.0, params)
@@ -677,7 +683,7 @@ class SupervisedEngine(Engine):
                 best.best_max_f1 = max(best.best_max_f1, mf1)
                 if corr > best.best_corr:
                     best.best_corr = corr
-                    best.best_params = jax.device_get(params)
+                    best.best_params = params  # device-resident; pulled once at save
                 if getattr(hps, "resume", False):
                     from summarizer_tpu.train.resume import TrainState
 
@@ -694,7 +700,7 @@ class SupervisedEngine(Engine):
                 state_path,
                 TrainState(params=params, opt_state=opt_state,
                            epoch=int(hps.epochs), rng=rng),
-                force=True,
+                force=True, final=True,
             )
 
         if timer.times:

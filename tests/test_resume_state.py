@@ -122,3 +122,45 @@ def test_sharded_crash_mid_save_keeps_previous(tmp_path):
                                      rng=jnp.zeros(2, jnp.uint32)))
     left = sorted(os.listdir(p + ".d"))
     assert all(f.startswith("e4_") for f in left), left
+
+
+def test_light_flag_round_trip(tmp_path):
+    """load_state reports whether the checkpoint carried optimizer state
+    (TrainState.light): the engines warn when a params-only fold-complete
+    record is resumed INTO (optimizer moments restart)."""
+    params, s0, s1 = _setup()
+    p_light = str(tmp_path / "l.ckpt")
+    save_state(p_light, TrainState(params, s1, epoch=3,
+                                   rng=jnp.zeros(2, jnp.uint32)), light=True)
+    p_full = str(tmp_path / "f.ckpt")
+    save_state(p_full, TrainState(params, s1, epoch=3,
+                                  rng=jnp.zeros(2, jnp.uint32)))
+    r_light = load_state(p_light, TrainState(params, s0, rng=jnp.zeros(2, jnp.uint32)))
+    r_full = load_state(p_full, TrainState(params, s0, rng=jnp.zeros(2, jnp.uint32)))
+    assert r_light.light and not r_full.light
+
+
+def test_final_save_light_opt_in(tmp_path):
+    """Engine.maybe_save_state(final=True): FULL state by default; the
+    params-only record only under the benchmark sweep's opt-in
+    ``resume_final_light`` (its retries never extend epochs).  Both are
+    asynchronous — flush_saves() must land them."""
+    from summarizer_tpu.train.engine import Engine
+
+    params, s0, s1 = _setup()
+
+    class _Eng:
+        hp = {}
+    for hp_cfg, expect_light in (({}, False), ({"resume_final_light": 1}, True)):
+        eng = _Eng()
+        eng.hp = hp_cfg
+        p = str(tmp_path / f"final_{expect_light}.ckpt")
+        Engine.maybe_save_state(
+            eng, p, TrainState(params, s1, epoch=5, rng=jnp.zeros(2, jnp.uint32)),
+            force=True, final=True)
+        Engine.flush_saves(eng)
+        r = load_state(p, TrainState(params, s0, rng=jnp.zeros(2, jnp.uint32)))
+        assert r.light == expect_light
+        assert r.epoch == 5
+        ref = _mu(s1 if not expect_light else s0)
+        np.testing.assert_array_equal(_mu(r.opt_state), ref)
