@@ -475,7 +475,16 @@ class Engine:
         import time as _time
 
         now = _time.monotonic()
-        last = getattr(self, "_last_state_save", 0.0)
+        last = getattr(self, "_last_state_save", None)
+        if last is None and not force:
+            # First gated call starts the interval clock instead of saving:
+            # it used to fire a multi-GB state fetch ~1 min into every GAN
+            # fold — peak tunnel load, the observed worker-killer — to
+            # protect only the first couple of epochs (the forced post-
+            # pretrain snapshot already covers everything before them).
+            self._last_state_save = now
+            return
+        last = last or 0.0
         cost = getattr(self, "_last_state_save_cost", 0.0)
         prior = getattr(self, "_save_thread", None)
         if prior is not None and prior.is_alive():
