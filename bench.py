@@ -386,15 +386,30 @@ def _stop_sweeps(max_wait_s: float | None = None):
         max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "90"))
 
     def alive_pids():
+        # A pid file can outlive its process across a VM restart, and the
+        # kernel reuses pids — blindly killing a recorded pid once SIGTERMed
+        # an unrelated pytest run.  Only treat a pid as a sweep child when
+        # its current cmdline actually looks like one; unlink stale files.
         pids = []
         for pf in (glob.glob("/tmp/benchmark*.pid") + glob.glob("/tmp/bench_gan*.pid")
                    + glob.glob("/tmp/post_sweep*.pid") + glob.glob("/tmp/sweep*.pid")):
             try:
                 pid = int(open(pf).read().strip())
-                os.kill(pid, 0)
-                pids.append(pid)
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
             except (OSError, ValueError):
+                try:
+                    os.unlink(pf)
+                except OSError:
+                    pass
                 continue
+            if any(tag in cmd for tag in ("summarizer_tpu", "benchmark", "sweep")):
+                pids.append(pid)
+            else:
+                try:
+                    os.unlink(pf)  # reused pid: the recorded child is gone
+                except OSError:
+                    pass
         return pids
 
     deadline = time.monotonic() + max_wait_s

@@ -141,6 +141,17 @@ DATASET_OVERRIDES = {
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1}},
     },
+    "summe": {
+        # The (group=20, T=641) 3-phase SumGAN program aborts the tunneled
+        # TPU worker deterministically — independent of int8/bf16, remat,
+        # split_phases, and the Pallas RNN kernels, while VAE pretrain at
+        # the same shape and (group=20, T=633) TVSum both run; group <= 16
+        # is fine (QUIRKS.md).  Group 10 also keeps all 20 train videos of
+        # a SumMe fold in every epoch (20 % 10 == 0; a 16-group would drop
+        # a rotating 4), at ~2x the per-video step cost of 20.
+        "SumGAN": {"extra_params": {"batch_size": 10}},
+        "SumGAN_sup": {"extra_params": {"batch_size": 10}},
+    },
 }
 
 
