@@ -1,0 +1,16 @@
+#!/bin/bash
+# North-star measurement (BASELINE.md): the 6 supervised/REINFORCE reference
+# families (Random, Logistic, VASNet incl. _loc, Transformer, DSN incl. _sup)
+# at full sweep budgets on SumMe+TVSum, one warm in-process run, ONE bash
+# `time` around the whole command.  Row walls land in the table via the
+# sweep; the TOTAL here is the number BASELINE.md's "<5 min" refers to.
+# Run AFTER a cold sweep has populated the XLA AOT compile cache (the
+# measurement is "benchmark re-run wall", not "first-ever compile wall").
+set -u
+cd "$(dirname "$0")/.."
+TIMEFORMAT='NORTHSTAR_TOTAL real %R s'
+SUP=random,logistic,vasnet,transformer,dsn
+
+{ time python -m summarizer_tpu.cli.benchmark --models $SUP \
+    --in-process > /tmp/northstar.log 2>&1 ; } 2>&1
+grep -aE "total\)" /tmp/northstar.log | tail -16

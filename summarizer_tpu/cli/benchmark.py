@@ -82,21 +82,30 @@ MODEL_CONFIGS = [
     # uninterrupted one (strict resume, VERDICT r2 item 8).  SumGAN stays
     # fold-sequential: its stacked 5-fold state is ~11.7 GB
     # (train/adversarial.py::_fold_parallel_fits would refuse).
+    # resume_mid_fold=0: only fold-COMPLETE records are saved.  A sweep
+    # fold is ~3-7 min of training, but each mid-fold insurance save pulls
+    # the 2.2 GB state through the 20 MB/s tunnel (~2 min, twice per fold
+    # with the post-pretrain snapshot) — the guaranteed cost exceeded the
+    # crash risk it insured.  Retried folds replay bit-exactly from fold
+    # start (same RNG stream), so recovery stays strict-parity.
     ("SumGAN", {"model": "sumgan", "epochs": 20,
                 "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                  "int8": 1, "remat": 0, "scan_chunk": 2,
-                                 "bucket": 0, "resume_final_light": 1}}),
+                                 "bucket": 0, "resume_final_light": 1,
+                                 "resume_mid_fold": 0}}),
     ("SumGAN_sup", {"model": "sumgan", "epochs": 20,
                     "extra_params": {"batch_size": 20, "pretrain_vae": 10,
                                      "int8": 1, "remat": 0, "scan_chunk": 2,
                                      "sup": 1, "bucket": 0,
-                                     "resume_final_light": 1}}),
+                                     "resume_final_light": 1,
+                                     "resume_mid_fold": 0}}),
     # SumGAN-att is 48 M params (2.9 GB stacked) — the 5 folds train as one
     # vmapped program (train/adversarial.py::train_folds).
     ("SumGAN-att", {"model": "sumgan_att", "epochs": 20, "fold_parallel": 1,
                     "extra_params": {"batch_size": 10, "pretrain_ae": 20,
                                      "bf16": 1, "scan_chunk": 2, "bucket": 0,
-                                     "remat": 0, "resume_final_light": 1}}),
+                                     "remat": 0, "resume_final_light": 1,
+                                     "resume_mid_fold": 0}}),
 ]
 
 # Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's
@@ -168,10 +177,15 @@ def benchmark_model(name: str, args: dict):
     for splits_file, corr, avg_f, max_f in results:
         rows.append([name, splits_file, corr, avg_f, max_f,
                      round(wall / max(len(results), 1), 1), hps.log_path])
+        phases = getattr(hps, "_phase_walls", {}).get(splits_file)
+        phase_str = (
+            f"  [setup {phases[0]:.1f}s train+eval {phases[1]:.1f}s "
+            f"predict {phases[2]:.1f}s]" if phases else ""
+        )
         logging.info(
             f"File: {splits_file}  Corr: {corr: 0.5f}  "
             f"Avg F-score: {avg_f:0.5f}  Max F-score: {max_f:0.5f}  "
-            f"({wall:.0f}s total)"
+            f"({wall:.0f}s total){phase_str}"
         )
     hps.writer.close()
     return rows

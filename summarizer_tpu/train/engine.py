@@ -474,6 +474,17 @@ class Engine:
         import threading
         import time as _time
 
+        if not final and not int(self.hp.get("resume_mid_fold", 1)):
+            # --param resume_mid_fold=0 (benchmark sweep): skip every
+            # crash-protection save that is not a fold-COMPLETE record.
+            # A retried fold replays the same RNG stream from fold start,
+            # so fold-granularity recovery is bit-exact; what it trades is
+            # re-training the crashed fold (~minutes) against the GUARANTEED
+            # per-fold cost of pulling a multi-GB state through the 20 MB/s
+            # tunnel (~2 min each for post-pretrain + gated mid-fold saves).
+            # For short sweep folds the insurance costs more than the risk.
+            return
+
         now = _time.monotonic()
         last = getattr(self, "_last_state_save", None)
         if last is None and not force:

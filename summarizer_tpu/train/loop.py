@@ -193,6 +193,13 @@ def train(hps):
             f"train+eval {_t_train - _t_setup:.1f}s  "
             f"predict {_t_pred - _t_train:.1f}s"
         )
+        # Benchmark sweeps run with log_level=error; stash the phase walls so
+        # the sweep can attribute per-row wall-clock without fold-level spam.
+        if not hasattr(hps, "_phase_walls"):
+            hps._phase_walls = {}
+        hps._phase_walls[sf] = (
+            _t_setup - _t0, _t_train - _t_setup, _t_pred - _t_train,
+        )
 
         results.append((sf, float(np.mean(corrs)), float(np.mean(af1s)), float(np.mean(mf1s))))
     return results
