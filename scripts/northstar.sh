@@ -14,3 +14,15 @@ SUP=random,logistic,vasnet,transformer,dsn
 { time python -m summarizer_tpu.cli.benchmark --models $SUP \
     --in-process > /tmp/northstar.log 2>&1 ; } 2>&1
 grep -aE "total\)" /tmp/northstar.log | tail -16
+
+# In-process runs skip the wrapper's durable row log; append this run's
+# table so merge_benchmark_tables.py picks up the warm walls.
+WARM_TABLE=$(ls -t logs/*_benchmark/table.txt 2>/dev/null | head -1)
+python - "$WARM_TABLE" <<'EOF'
+import json, sys
+sys.path.insert(0, ".")
+from scripts.merge_benchmark_tables import parse_table
+with open("logs/benchmark_rows.jsonl", "a") as f:
+    for r in parse_table(sys.argv[1]):
+        f.write(json.dumps(r) + "\n")
+EOF

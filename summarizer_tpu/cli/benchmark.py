@@ -394,16 +394,40 @@ def main(argv=None):
                     deadline = time.monotonic() + 3600
                     start_wall = time.time()  # getmtime is wall-clock
                     rc = None
+
+                    def _cpu_s():
+                        # Child CPU seconds (utime+stime).  A worker-side
+                        # compile blocks the child in an RPC for 10+ min with
+                        # NO file progress but a slow CPU trickle (deserialize
+                        # + ping loops, ~1-3% CPU); a dead-worker hang sits at
+                        # ~0%.  Killing a mid-compile child is worse than
+                        # useless: nothing lands in the AOT cache, so every
+                        # retry re-buys the same compile and the attempt
+                        # budget burns with zero net progress.
+                        try:
+                            with open(f"/proc/{p.pid}/stat") as f:
+                                parts = f.read().rsplit(") ", 1)[1].split()
+                            return (int(parts[11]) + int(parts[12])) / os.sysconf(
+                                "SC_CLK_TCK"
+                            )
+                        except (OSError, IndexError, ValueError):
+                            return None
+                    last_cpu, last_cpu_t = _cpu_s(), time.time()
                     while True:
                         try:
                             rc = p.wait(timeout=30)
                             break
                         except subprocess.TimeoutExpired:
                             pass
+                        cpu = _cpu_s()
+                        if cpu is not None and last_cpu is not None and (
+                            cpu - last_cpu
+                        ) >= 0.25:
+                            last_cpu, last_cpu_t = cpu, time.time()
                         stalled = (
                             time.time()
                             - max(_progress_mtime(), start_wall + 300) > 480
-                        )
+                        ) and (time.time() - last_cpu_t > 480)
                         if time.monotonic() > deadline or stalled:
                             p.kill()
                             rc = "stalled" if stalled else "timeout"
