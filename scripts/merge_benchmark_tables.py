@@ -1,14 +1,25 @@
-"""Merge full-budget benchmark results into one BENCHMARK_TABLE.txt.
+"""Merge benchmark results into one provenance-checked BENCHMARK_TABLE.txt.
 
-The full sweep ran in two pieces (a remote-TPU worker crash killed the GAN
-tail of the first run): supervised/REINFORCE families logged to
-/tmp/benchmark_full.log, GAN families re-ran via the crash-isolated sweep
-(logs/<ts>_benchmark/table.txt).  This stitches both into the repo-root
-table with the data-provenance header.
+Sources, freshest first: the durable per-row log ``logs/benchmark_rows.jsonl``
+(written by the sweep wrapper as each row lands, newest line wins), any table
+files passed as argv, then rows already in the committed repo table.
 
-Usage: python scripts/merge_benchmark_tables.py <gan_table.txt> [log ...]
+Round-4 provenance rules (VERDICT r3 "what's weak" #2 — stale LOL rows from a
+since-regenerated fixture shipped unmarked in round 3):
+
+- every fresh row carries ``<dataset>@<md5-8> e<epochs> <date>`` produced by
+  ``summarizer_tpu.utils.fingerprint``; the merge re-hashes the committed
+  fixtures and REFUSES any row whose recorded hash mismatches (printed, not
+  silently dropped);
+- legacy 7-column rows (no fingerprint) are kept only if no fingerprinted row
+  exists for that (model, file) and are marked ``pre-r4 (unverified)``;
+- log-parsed walls divide the train() total by the number of files actually
+  seen in that model block, not a hardcoded 2 (wrong for 1-file LOL logs).
+
+Usage: python scripts/merge_benchmark_tables.py [table.txt|train.log ...]
 """
 
+import json
 import os
 import re
 import sys
@@ -22,19 +33,33 @@ ROW = re.compile(
 )
 TRAIN = re.compile(r"INFO: Train (.+) model\.\.\.")
 
+LEGACY_TAG = "pre-r4 (unverified)"
+
 
 def parse_log(path):
-    rows, current = [], None
+    """Rows from a train log. The ``(Ns total)`` wall covers the whole
+    train() call, so divide by the number of File: lines in the block."""
+    rows, block = [], []
+    current = None
+
+    def flush():
+        for r in block:
+            r[5] = round(r[5] / max(len(block), 1), 1)
+            rows.append(r)
+        block.clear()
+
     for line in open(path):
         m = TRAIN.search(line)
         if m:
+            flush()
             current = m.group(1)
             continue
         m = ROW.search(line)
         if m and current:
             sf, corr, af, mf, wall = m.groups()
-            rows.append([current, sf, float(corr), float(af), float(mf),
-                         round(float(wall) / 2, 1), "(log)"])
+            block.append([current, sf, float(corr), float(af), float(mf),
+                          float(wall), "(log)", LEGACY_TAG])
+    flush()
     return rows
 
 
@@ -42,14 +67,37 @@ def parse_table(path):
     rows = []
     for line in open(path):
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if len(cells) == 7 and cells[0] not in ("Model", "") \
+        if len(cells) in (7, 8) and cells[0] not in ("Model", "") \
                 and not set(line) <= set("+-|= \n"):
             try:
-                rows.append([cells[0], cells[1], float(cells[2]), float(cells[3]),
-                             float(cells[4]), float(cells[5]), cells[6]])
+                row = [cells[0], cells[1], float(cells[2]), float(cells[3]),
+                       float(cells[4]), float(cells[5]), cells[6]]
             except ValueError:
                 continue
+            row.append(cells[7] if len(cells) == 8 else LEGACY_TAG)
+            rows.append(row)
     return rows
+
+
+def current_hashes():
+    """dataset name -> md5-8 of the committed fixture h5."""
+    from summarizer_tpu.utils.fingerprint import file_hash8
+
+    out = {}
+    for fn in os.listdir("datasets"):
+        m = re.match(r"summarizer_dataset_(.+)_google_pool5\.h5$", fn)
+        if m:
+            out[m.group(1)] = file_hash8(os.path.join("datasets", fn))
+    return out
+
+
+def fixture_ok(fixture: str, hashes: dict):
+    """True if every <name>@<hash> token matches the committed fixture;
+    None if the row carries no fingerprint (legacy)."""
+    tokens = re.findall(r"(\w+)@([0-9a-f]{8})", fixture or "")
+    if not tokens:
+        return None
+    return all(hashes.get(name) == h for name, h in tokens)
 
 
 def main():
@@ -59,31 +107,45 @@ def main():
 
     from summarizer_tpu.cli.benchmark import _provenance
 
-    import json
-
-    legacy = "/tmp/benchmark_full.log"
-    rows = parse_log(legacy) if os.path.exists(legacy) else []
-    seen = {(r[0], r[1]) for r in rows}
+    hashes = current_hashes()
+    rows, seen, rejected = [], {}, []
 
     def add(r):
-        if (r[0], r[1]) not in seen:
+        r = list(r) + [LEGACY_TAG] * (8 - len(r))
+        ok = fixture_ok(r[7], hashes)
+        if ok is False:
+            rejected.append(r)
+            return
+        key = (r[0], r[1])
+        if key not in seen:
             rows.append(r)
-            seen.add((r[0], r[1]))
+            seen[key] = ok
+        elif seen[key] is None and ok:
+            # A fingerprinted row beats a legacy duplicate even if the
+            # legacy one came from a fresher-ranked source.
+            rows[[i for i, x in enumerate(rows)
+                  if (x[0], x[1]) == key][0]] = r
+            seen[key] = True
 
-    # Durable per-row log written by the sweep wrapper (survives wrapper
-    # crashes); later lines are fresher, so take them newest-first.
+    # Durable per-row log (survives wrapper crashes); later lines are
+    # fresher, so take them newest-first.
     if os.path.exists("logs/benchmark_rows.jsonl"):
         for line in reversed(open("logs/benchmark_rows.jsonl").read().splitlines()):
             if line.strip():
                 add(json.loads(line))
     for path in sys.argv[1:]:
-        for r in parse_table(path):
+        parse = parse_log if path.endswith(".log") else parse_table
+        for r in parse(path):
             add(r)
-    # Finally, rows already in the committed repo table (a fresh VM loses
-    # /tmp logs and logs/; fresher sources above win on duplicates).
+    # Rows already in the committed repo table (a fresh VM loses /tmp and
+    # logs/; fresher sources above win on duplicates).
     if os.path.exists("BENCHMARK_TABLE.txt"):
         for r in parse_table("BENCHMARK_TABLE.txt"):
             add(r)
+
+    for r in rejected:
+        print(f"REJECTED (fixture hash mismatch vs committed h5): "
+              f"{r[0]} / {r[1]} [{r[7]}]")
 
     order = ["Random", "Logistic Regression", "VASNet", "VASNet_loc",
              "Transformer", "Transformer-MoE", "vsLSTM", "DSN", "DSN_sup",
@@ -92,13 +154,16 @@ def main():
 
     table = pd.DataFrame(rows, columns=["Model", "File", "Correlation",
                                         "Avg F-score", "Max F-score",
-                                        "Wall (s/file)", "Logs"])
+                                        "Wall (s/file)", "Logs", "Fixture"])
     files = sorted({r[1] for r in rows})
     header = (_provenance(",".join(files))
               + "\nBudgets: per-family best-known epochs "
               "(cli/benchmark.py MODEL_CONFIGS; reference benchmark.py:30-43;"
               "\nLOL rows at the reduced DATASET_OVERRIDES budgets — "
-              "column 6 is wall seconds per splits file)")
+              "column 6 is wall seconds per splits file).\n"
+              "Fixture column: <dataset>@<md5-8 of the h5 the row was "
+              "measured on> e<epochs> <date>; rows whose hash mismatches "
+              "the committed fixture are refused at merge time.")
     out = header + "\n" + tabulate(table, headers="keys", tablefmt="psql",
                                    showindex=False)
     with open("BENCHMARK_TABLE.txt", "w") as f:

@@ -11,9 +11,29 @@ cd "$(dirname "$0")/.."
 TIMEFORMAT='NORTHSTAR_TOTAL real %R s'
 SUP=random,logistic,vasnet,transformer,dsn
 
-{ time python -m summarizer_tpu.cli.benchmark --models $SUP \
-    --in-process > /tmp/northstar.log 2>&1 ; } 2>&1
+TOTAL_LINE=$( { time python -m summarizer_tpu.cli.benchmark --models $SUP \
+    --in-process > /tmp/northstar.log 2>&1 ; } 2>&1 )
+echo "$TOTAL_LINE"
 grep -aE "total\)" /tmp/northstar.log | tail -16
+
+# Durable JSON artifact (VERDICT r3 item 3): the one citable number, with
+# the measured tunnel-link context from BENCH_NOTES.md.
+SECS=$(echo "$TOTAL_LINE" | sed -n 's/.*NORTHSTAR_TOTAL real \(.*\) s.*/\1/p')
+python - "$SECS" <<'EOF'
+import datetime, json, sys
+rec = {
+    "northstar_total_s": float(sys.argv[1]),
+    "date": datetime.date.today().isoformat(),
+    "families": "random,logistic,vasnet(+loc),transformer,dsn(+sup)",
+    "datasets": "summe+tvsum (5-fold CV each, full sweep budgets)",
+    "target_s": 300,
+    "hardware": "1x TPU v5e via tunneled worker "
+                "(device_get ~20.1 MB/s, executable upload ~6.4 MB/s)",
+}
+with open("logs/northstar.json", "w") as f:
+    json.dump(rec, f, indent=1)
+print("WROTE logs/northstar.json:", rec["northstar_total_s"], "s")
+EOF
 
 # In-process runs skip the wrapper's durable row log; append this run's
 # table so merge_benchmark_tables.py picks up the warm walls.

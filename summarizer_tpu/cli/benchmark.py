@@ -174,9 +174,20 @@ def benchmark_model(name: str, args: dict):
     results = train(hps)
     wall = time.time() - t0
     rows = []
+    from summarizer_tpu.utils.fingerprint import fixture_tag
+
+    date = datetime.date.today().isoformat()
     for splits_file, corr, avg_f, max_f in results:
+        # Per-row provenance: exact fixture bytes (md5-8 of the h5 this row
+        # was measured on), date, and epoch budget — so a later merge can
+        # detect rows measured on a since-regenerated fixture (VERDICT r3).
+        fixture = (
+            f"{fixture_tag(hps.dataset_of_file[splits_file])} "
+            f"e{hps.epochs} {date}"
+        )
         rows.append([name, splits_file, corr, avg_f, max_f,
-                     round(wall / max(len(results), 1), 1), hps.log_path])
+                     round(wall / max(len(results), 1), 1), hps.log_path,
+                     fixture])
         phases = getattr(hps, "_phase_walls", {}).get(splits_file)
         phase_str = (
             f"  [setup {phases[0]:.1f}s train+eval {phases[1]:.1f}s "
@@ -463,12 +474,12 @@ def main(argv=None):
                 time.sleep(180)
             if not got:
                 rows.append([name, sf, float("nan"), float("nan"),
-                             float("nan"), float("nan"), "FAILED"])
+                             float("nan"), float("nan"), "FAILED", ""])
 
     table = pd.DataFrame(
         rows,
         columns=["Model", "File", "Correlation", "Avg F-score", "Max F-score",
-                 "Wall (s/file)", "Logs"],
+                 "Wall (s/file)", "Logs", "Fixture"],
     )
     show_save_results(table, log_path, header=_provenance(args.splits_files))
 
