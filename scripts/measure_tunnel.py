@@ -81,10 +81,15 @@ def measure(mb: int = 64):
              .astype(np.float32).reshape(-1, 257))
 
     def compile_with(const):
-        f = jax.jit(lambda x: x + jnp.asarray(const).sum(0))
+        # Runtime-dependent row gather: XLA cannot constant-fold the big
+        # constant away (a `const.sum(0)` closure folds to a 1 KB vector at
+        # compile time, in which case the delta measures host-side folding,
+        # not the link) — every row must survive into the shipped program.
+        f = jax.jit(lambda x, i: x + jnp.asarray(const)[i])
         x = jnp.zeros((3, 257), jnp.float32)
+        idx = jnp.zeros((3,), jnp.int32)
         t0 = time.perf_counter()
-        f(x).block_until_ready()
+        f(x, idx).block_until_ready()
         return time.perf_counter() - t0
 
     t_small = compile_with(small_c)
@@ -93,7 +98,16 @@ def measure(mb: int = 64):
     out["compile_small_s"] = round(t_small, 2)
     out["compile_big_s"] = round(t_big, 2)
     if t_big > t_small:
-        out["executable_upload_MBps_est"] = round(const_mb / (t_big - t_small), 1)
+        est = round(const_mb / (t_big - t_small), 1)
+        out["executable_upload_MBps_est"] = est
+        # Sanity bound: executables ride the same physical link as
+        # device_put, so an estimate far above it means the constant never
+        # actually shipped (folded or cached) — flag instead of reporting.
+        if est > 5.0 * out["device_put_MBps"]:
+            out["executable_upload_suspect"] = (
+                "estimate exceeds 5x device_put MBps; constant likely "
+                "did not ride the link"
+            )
     return out
 
 

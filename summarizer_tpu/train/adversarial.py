@@ -314,11 +314,19 @@ class _AdversarialBase(Engine):
             )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
-            # final epoch): score the current params so the fold result is
-            # real instead of the sentinel.
-            rng, k_fin = jax.random.split(rng)
-            corr, af1, mf1 = eval_fn(params, k_fin)
-            best = FoldResult(corr, af1, mf1, params)  # device-resident
+            # final epoch): prefer the sidecar's recorded best-epoch metrics
+            # (see engine.save_fold_metrics); fall back to scoring the
+            # current params so the fold result is real, not the sentinel.
+            rec = self.load_fold_metrics(state_path, 1)
+            if rec is not None:
+                self.log.info("fold metrics restored from sidecar record")
+                best = FoldResult(rec[0][0], rec[0][1], rec[0][2], params)
+            else:
+                rng, k_fin = jax.random.split(rng)
+                corr, af1, mf1 = eval_fn(params, k_fin)
+                best = FoldResult(corr, af1, mf1, params)  # device-resident
+        else:
+            self.save_fold_metrics(state_path, [best])
         return best
 
     def pretrain(self, params, feats, targets, mask, cfg, rng):
@@ -517,9 +525,11 @@ class _AdversarialBase(Engine):
         if start_epoch < int(hps.epochs):
             self._stacked_maybe_save(params, opt_states, rngs, {},
                                      int(hps.epochs), force=True, final=True)
-        return self._stacked_finalize(
+        best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
+        self.save_fold_metrics(self._stacked_state_path(), best)
+        return best
 
     def _pretrain_chunk_impl(self, opt, loss_fn):
         """Unjitted pretrain chunk: one `lax.scan` over video groups running

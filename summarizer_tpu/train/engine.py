@@ -8,6 +8,7 @@ packed device tensors and one jitted eval program per fold.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -379,12 +380,59 @@ class Engine:
             force=force, final=final,
         )
 
+    def _fold_metrics_path(self, state_path: str) -> str:
+        return state_path + ".metrics.json"
+
+    def save_fold_metrics(self, state_path: str, best) -> None:
+        """Tiny sidecar record of per-fold BEST metrics next to the state
+        file.  A crashed-and-retried run resumes completed folds from the
+        final-epoch params, where no eval fires and the re-reported metrics
+        would come from final params rather than the best epoch; the sidecar
+        lets the retry reconstruct the uninterrupted run's best-by-corr
+        numbers exactly (ADVICE r3).  Best-fold WEIGHTS on that path are
+        still final-epoch — recorded in BENCH_NOTES."""
+        import json as _json
+
+        if not getattr(self.hps, "resume", False):
+            return  # sidecar only serves crash-retry; mirror the state gate
+        rec = [[float(b.best_corr), float(b.best_avg_f1), float(b.best_max_f1)]
+               for b in best]
+        if any(c > -1.0 for c, _, _ in rec):
+            tmp = self._fold_metrics_path(state_path) + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"best": rec}, f)
+            os.replace(tmp, self._fold_metrics_path(state_path))
+
+    def load_fold_metrics(self, state_path: str, k_folds: int):
+        """The sidecar's per-fold [corr, af1, mf1] list, or None."""
+        import json as _json
+
+        try:
+            with open(self._fold_metrics_path(state_path)) as f:
+                rec = _json.load(f)["best"]
+        except (OSError, ValueError, KeyError):
+            return None
+        return rec if len(rec) == k_folds else None
+
     def _stacked_finalize(self, best, params, rngs, eval_multi, eval_feats,
                           eval_mask, eval_batch):
         """Score the final params for folds where no eval fired
         (test_every > epochs), so every FoldResult is real."""
         if not any(b.best_params is None for b in best):
             return best
+        if all(b.best_params is None and b.best_corr <= -1.0 for b in best):
+            # Resume-completed run (no epoch trained, no eval fired): prefer
+            # the sidecar's recorded best-epoch metrics over re-scoring the
+            # final params, so a retried row matches the uninterrupted run.
+            rec = self.load_fold_metrics(self._stacked_state_path(), len(best))
+            if rec is not None:
+                self.log.info("fold metrics restored from sidecar record")
+                for f, (c, a, m) in enumerate(rec):
+                    best[f].best_corr = float(c)
+                    best[f].best_avg_f1 = float(a)
+                    best[f].best_max_f1 = float(m)
+                    best[f].best_params = jax.tree.map(lambda x: x[f], params)
+                return best
         k_fin = jax.vmap(lambda r: jax.random.split(r))(rngs)[:, 1]
         corr, af1, mf1 = map(
             np.asarray,
@@ -554,6 +602,27 @@ class Engine:
         th = threading.Thread(target=_do, daemon=True)
         th.start()
         self._save_thread = th
+        if not getattr(self, "_save_atexit_registered", False):
+            # Durability without relying on every caller to flush_saves():
+            # the save thread is a daemon (a hung tunnel device_get must not
+            # wedge interpreter exit forever), so a direct train_fold caller
+            # that exits right after a forced save would otherwise lose the
+            # fold-complete checkpoint.  The bounded join covers the normal
+            # case; a save still in flight after 300 s is a dead worker.
+            import atexit
+
+            def _final_flush():
+                t = getattr(self, "_save_thread", None)
+                if t is not None and t.is_alive():
+                    t.join(timeout=300.0)
+                    if t.is_alive():
+                        logging.warning(
+                            "state save still in flight at exit (>300s); "
+                            "checkpoint may be the previous complete one"
+                        )
+
+            atexit.register(_final_flush)
+            self._save_atexit_registered = True
 
     def flush_saves(self):
         """Join any in-flight async state save (loop.py calls this at the

@@ -147,8 +147,25 @@ def train(hps):
                 # Defer the weights write to after the fold loop: best_params
                 # may be a device-resident snapshot (GAN params are ~760 MB;
                 # the 20 MB/s tunnel device_get must happen once per splits
-                # file, not once per improved fold).
+                # file, not once per improved fold).  Exception: a LARGE
+                # snapshot that must survive further folds' training is
+                # pulled to host now — the worker's usable HBM is variable
+                # (QUIRKS.md) and a held 760 MB copy has OOM'd previously-
+                # fitting programs; the pull only fires when a later fold
+                # still trains, so the common last-fold-improves case keeps
+                # the single deferred fetch.
                 best_fold_params = res.best_params
+                if (
+                    best_fold_params is not None
+                    and fold + 1 < len(folds)
+                    and fold_results is None
+                    and sum(
+                        getattr(x, "nbytes", 0)
+                        for x in jax.tree.leaves(best_fold_params)
+                        if hasattr(x, "devices")
+                    ) > 256 * 2**20
+                ):
+                    best_fold_params = jax.device_get(best_fold_params)
             hps.logger.info(
                 f"File: {sf}   Fold: {fold + 1}/{len(folds)}   "
                 f"Corr: {res.best_corr: 0.5f}  "

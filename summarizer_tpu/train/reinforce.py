@@ -365,9 +365,11 @@ class ReinforceEngine(Engine):
                 params, opt_state, rngs, {"baselines": baselines},
                 int(hps.epochs), force=True, final=True,
             )
-        return self._stacked_finalize(
+        best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
+        self.save_fold_metrics(self._stacked_state_path(), best)
+        return best
 
     def _train_folds_fused(self, splits, params, opt_state, baselines, rngs,
                            feats, targets, mask, fold_idx, optimizer,
@@ -463,9 +465,14 @@ class ReinforceEngine(Engine):
             )
             for f in range(k_folds)
         ]
-        return self._stacked_finalize(
+        best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
+        self.save_fold_metrics(
+            state_path if state_path is not None else self._stacked_state_path(),
+            best,
+        )
+        return best
 
     def _fold_fused_ready(self, fold: int, n_train: int) -> bool:
         """Single-fold fused eligibility (see supervised.py::_fold_fused_ready).
@@ -637,9 +644,18 @@ class ReinforceEngine(Engine):
             )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
-            # final epoch): score the current params so the fold result is
-            # real instead of the sentinel.
-            rng, k_fin = jax.random.split(rng)
-            corr, af1, mf1 = eval_fn(params, k_fin)
-            best = FoldResult(corr, af1, mf1, jax.device_get(params))
+            # final epoch): prefer the sidecar's recorded best-epoch metrics
+            # (see engine.save_fold_metrics); fall back to scoring current
+            # params so the fold result is real instead of the sentinel.
+            rec = self.load_fold_metrics(state_path, 1)
+            if rec is not None:
+                self.log.info("fold metrics restored from sidecar record")
+                best = FoldResult(rec[0][0], rec[0][1], rec[0][2],
+                                  jax.device_get(params))
+            else:
+                rng, k_fin = jax.random.split(rng)
+                corr, af1, mf1 = eval_fn(params, k_fin)
+                best = FoldResult(corr, af1, mf1, jax.device_get(params))
+        else:
+            self.save_fold_metrics(state_path, [best])
         return best

@@ -93,7 +93,12 @@ def save_state_sharded(path: str, state: TrainState) -> None:
     epoch = int(state.epoch)
 
     opt = state.opt_state
-    opt_parts = list(opt) if isinstance(opt, (tuple, list)) else [opt]
+    # Exact-type check on purpose: an optax NamedTuple state (MaskedState,
+    # InjectHyperparamsState, ...) is a tuple subclass but ONE optimizer,
+    # not a chain container — splitting its fields into parts would make
+    # the load unreconstructable.  Only plain tuple/list mark multi-chain.
+    is_chain = type(opt) in (tuple, list)
+    opt_parts = list(opt) if is_chain else [opt]
     components = [("params", state.params)] + [
         (f"opt{i}", s) for i, s in enumerate(opt_parts)
     ]
@@ -122,7 +127,7 @@ def save_state_sharded(path: str, state: TrainState) -> None:
     manifest = {
         "magic": _MANIFEST_MAGIC,
         "epoch": epoch,
-        "opt_is_tuple": isinstance(opt, (tuple, list)),
+        "opt_is_tuple": is_chain,
         "n_opt": len(opt_parts),
         "parts": parts,
     }
@@ -154,9 +159,12 @@ def _load_state_sharded(path: str, manifest: dict,
                 f"checkpoint has {manifest['n_opt']} optimizer chains, "
                 f"template has {len(tpl)}"
             )
-        opt_state = type(template.opt_state)(
-            restore(tpl[i], read(f"opt{i}")) for i in range(manifest["n_opt"])
-        )
+        chains = [restore(tpl[i], read(f"opt{i}"))
+                  for i in range(manifest["n_opt"])]
+        # Explicit tuple/list reconstruction (NamedTuples never take this
+        # branch: save_state_sharded only marks exact tuple/list as chains).
+        opt_state = (list(chains) if type(template.opt_state) is list
+                     else tuple(chains))
     else:
         opt_state = restore(template.opt_state, read("opt0"))
     rng_t = template.rng if template.rng is not None else np.zeros(2, np.uint32)

@@ -402,6 +402,7 @@ class SupervisedEngine(Engine):
         best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
+        self.save_fold_metrics(self._stacked_state_path(), best)
         if timer.times:
             st = timer.summary()
             self.log.debug(
@@ -509,9 +510,14 @@ class SupervisedEngine(Engine):
             )
             for f in range(k_folds)
         ]
-        return self._stacked_finalize(
+        best = self._stacked_finalize(
             best, params, rngs, eval_multi, eval_feats, eval_mask, eval_batch
         )
+        if state_path is None:
+            self.save_fold_metrics(self._stacked_state_path(), best)
+        else:
+            self.save_fold_metrics(state_path, best)
+        return best
 
     def _fold_fused_ready(self, fold: int) -> bool:
         """Single-fold fused eligibility: one dispatch replaces the per-epoch
@@ -711,9 +717,18 @@ class SupervisedEngine(Engine):
             )
         if best.best_corr == -1.0 and best.best_max_f1 == 0.0:
             # No eval fired this run (e.g. a --resume retry landed at/past the
-            # final epoch): score the current params so the fold result is
-            # real instead of the sentinel.
-            rng, k_fin = jax.random.split(rng)
-            corr, af1, mf1 = eval_fn(params, k_fin)
-            best = FoldResult(corr, af1, mf1, jax.device_get(params))
+            # final epoch): prefer the sidecar's recorded best-epoch metrics
+            # (written by the uninterrupted portion) so the retried fold
+            # reports identically; fall back to scoring the current params.
+            rec = self.load_fold_metrics(state_path, 1)
+            if rec is not None:
+                self.log.info("fold metrics restored from sidecar record")
+                best = FoldResult(rec[0][0], rec[0][1], rec[0][2],
+                                  jax.device_get(params))
+            else:
+                rng, k_fin = jax.random.split(rng)
+                corr, af1, mf1 = eval_fn(params, k_fin)
+                best = FoldResult(corr, af1, mf1, jax.device_get(params))
+        else:
+            self.save_fold_metrics(state_path, [best])
         return best

@@ -164,3 +164,56 @@ def test_final_save_light_opt_in(tmp_path):
         assert r.epoch == 5
         ref = _mu(s1 if not expect_light else s0)
         np.testing.assert_array_equal(_mu(r.opt_state), ref)
+
+
+def test_sharded_namedtuple_opt_state_not_split(tmp_path):
+    """An optax NamedTuple top-level opt_state (tuple subclass) is ONE
+    optimizer, not a chain container: save_state_sharded must keep it as a
+    single part and the load must reconstruct the NamedTuple type
+    (ADVICE r3: isinstance(tuple) would split its fields into bogus
+    chains and the reconstruction would raise TypeError)."""
+    from summarizer_tpu.train.resume import save_state_sharded
+
+    params, s0, s1 = _setup()
+    masked = optax.masked(optax.adam(1e-3), {"w": True})
+    m0 = masked.init(params)
+    _, m1 = masked.update({"w": jnp.ones((2, 3))}, m0, params)
+    assert isinstance(m1, tuple) and type(m1) is not tuple  # NamedTuple
+    p = str(tmp_path / "named.ckpt")
+    save_state_sharded(
+        p, TrainState(params, m1, epoch=4, rng=jnp.zeros(2, jnp.uint32))
+    )
+    import json
+
+    manifest = json.load(open(p))
+    assert manifest["opt_is_tuple"] is False and manifest["n_opt"] == 1
+    r = load_state(p, TrainState(params, m0, rng=jnp.zeros(2, jnp.uint32)))
+    assert type(r.opt_state) is type(m0)
+    np.testing.assert_allclose(_mu(r.opt_state), _mu(m1))
+
+
+def test_fold_metrics_sidecar_round_trip(tmp_path):
+    """Best-metric sidecar: written at fold end, restored on a resume that
+    lands at/past the final epoch (ADVICE r3 crash-path metric caveat)."""
+    from summarizer_tpu.train.engine import Engine, FoldResult
+
+    class _Hps:
+        resume = True
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+    eng = Engine.__new__(Engine)
+    eng.hps = _Hps()
+    eng.log = _Log()
+    path = str(tmp_path / "state_fold0.ckpt")
+    best = [FoldResult(0.41, 0.52, 0.63, None), FoldResult(0.1, 0.2, 0.3, None)]
+    eng.save_fold_metrics(path, best)
+    rec = eng.load_fold_metrics(path, 2)
+    assert rec == [[0.41, 0.52, 0.63], [0.1, 0.2, 0.3]]
+    assert eng.load_fold_metrics(path, 5) is None  # fold-count mismatch
+    # All-sentinel records are not persisted (nothing real to restore).
+    p2 = str(tmp_path / "state_fold1.ckpt")
+    eng.save_fold_metrics(p2, [FoldResult(-1.0, 0.0, 0.0, None)])
+    assert eng.load_fold_metrics(p2, 1) is None
