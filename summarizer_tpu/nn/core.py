@@ -111,7 +111,14 @@ def hash_keep(idx, seed, rate: float):
     ~10 VPU ops/element vs. the threefry core's hundreds: the three
     (B, T, *)-sized dropout sites in an attention scorer cost ~40% of the
     train step under jax.random.bernoulli (BENCH_NOTES 'Dense/flash
-    crossover') and ~nothing under this hash.  Top 24 bits -> U[0, 1)."""
+    crossover') and ~nothing under this hash.  Top 24 bits -> U[0, 1).
+
+    Statistical quality is pinned by tests/test_hash_dropout_stats.py
+    (bias, uniformity, serial/cross-seed correlation, calibration vs
+    threefry).  Known limits: the 32-bit seed space can birthday-collide
+    after ~2^16 steps (one repeated mask — harmless for dropout), and two
+    sites passed the SAME key and shape share a mask (model code always
+    splits per site)."""
     h = idx.astype(jnp.uint32) * np.uint32(0x9E3779B1)
     h = h ^ (seed * np.uint32(0xC2B2AE3D))
     h = h ^ (h >> 16)
