@@ -137,6 +137,18 @@ def _perm_chunks(perm, chunk):
 class _AdversarialBase(Engine):
     """Shared fold loop; subclasses provide _cfg, phase losses, pretrain."""
 
+    #: set by subclasses whose 3-phase program has known worker-fatal
+    #: (group, padded T) shapes on the tunneled backend (train/shape_guard.py)
+    _shape_guard_tag: str | None = None
+
+    def __init__(self, spec, hps, dataset, dataset_name):
+        super().__init__(spec, hps, dataset, dataset_name)
+        if self._shape_guard_tag is not None:
+            from summarizer_tpu.train.shape_guard import guard_padded_t
+
+            bs = max(1, int(self.hp.get("batch_size", hps.batch_size)))
+            self.t_max = guard_padded_t(self._shape_guard_tag, bs, self.t_max)
+
     def _sizes(self, n):
         bs = max(1, min(int(self.hp.get("batch_size", self.hps.batch_size)), n))
         chunk = max(1, int(self.hp.get("scan_chunk", 4)))
@@ -720,9 +732,16 @@ class _AdversarialBase(Engine):
                 # sweep watchdog would otherwise read it as a dead worker.
                 self.heartbeat()
                 # Per-group pad: the group's own max length, rounded up to
-                # 128 steps (one compile per distinct bucket, cached).
+                # 128 steps (one compile per distinct bucket, cached).  The
+                # shape guard keeps a bucket from landing on a known
+                # worker-fatal (group, T); t_full itself is guarded at init.
                 if lens is not None:
-                    bt = int(min(t_full, ((lens[sel_np[gi]].max() + 127) // 128) * 128))
+                    bt = ((int(lens[sel_np[gi]].max()) + 127) // 128) * 128
+                    from summarizer_tpu.train.shape_guard import guard_padded_t
+
+                    bt = min(t_full, guard_padded_t(
+                        self._shape_guard_tag, int(sel_np[gi].size), bt
+                    ))
                 else:
                     bt = t_full
                 x, y, m = gather(feats, targets, mask, sel_groups[gi], bt)
@@ -743,6 +762,8 @@ class _AdversarialBase(Engine):
 
 # ======================================================================= SumGAN
 class SumGANEngine(_AdversarialBase):
+    _shape_guard_tag = "sumgan_3phase"  # QUIRKS.md worker abort @ (20, 648)
+
     def _cfg(self):
         hp = self.hp
         epochs = int(self.hps.epochs)
