@@ -331,11 +331,18 @@ class Engine:
         """Checkpoint path for the STACKED train state (all folds in one
         file).  Distinct from the per-fold sequential paths so switching
         --fold_parallel on/off between retries never resumes a mismatched
-        pytree structure."""
+        pytree structure.  ``_stacked_path_tag`` (set by fold-chunked GAN
+        stacking, train/adversarial.py::train_folds) keys each chunk's file
+        by its fold base so a chunked retry never loads a full-stack
+        pytree."""
         import os
 
-        return getattr(self.hps, "resume_path", None) or os.path.join(
-            self.hps.log_path, f"state_{self.dataset_name}_stacked.ckpt"
+        tag = getattr(self, "_stacked_path_tag", "")
+        explicit = getattr(self.hps, "resume_path", None)
+        if explicit:
+            return explicit + tag
+        return os.path.join(
+            self.hps.log_path, f"state_{self.dataset_name}_stacked{tag}.ckpt"
         )
 
     def _stacked_resume_load(self, params, opt_state, rngs, extras):

@@ -566,6 +566,64 @@ def test_fold_parallel_sumgan_resume_roundtrip(tmp_path, synth_h5):
     assert "Resumed stacked folds at epoch 2" in log_text
 
 
+def test_fold_parallel_sumgan_chunked_matches_sequential(tmp_path, synth_h5):
+    """A stacked GAN state over the HBM budget but fitting at a smaller
+    fold count runs as padded CHUNKED stacks (train/adversarial.py::
+    _fold_parallel_chunk — round 4, lifting round 3's outright refusal for
+    the 190M-param SumGAN), not sequential; per-fold CV metrics must still
+    match the sequential path.  The tiny GAN is ~0.2 MB params (~0.6 MB
+    state/fold); a 1.5e-3 GB budget admits exactly 2 of the 3 folds."""
+    from summarizer_tpu.train.loop import train
+
+    hps_seq, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", dict(_GAN_TINY), epochs=3,
+        log_dir=str(tmp_path / "gan_chunk_seq_logs"),
+    )
+    seq = train(hps_seq)
+    extra = dict(_GAN_TINY, fold_parallel_hbm_gb=1.5e-3)
+    hps_par, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra, epochs=3,
+        fold_parallel=1, log_dir=str(tmp_path / "gan_chunk_par_logs"),
+        log_level="info",
+    )
+    par = train(hps_par)
+    log_text = open(
+        os.path.join(str(tmp_path / "gan_chunk_par_logs"), "train.log")
+    ).read()
+    assert "chunked stacks of 2" in log_text
+    assert "trained fold-parallel" in log_text
+    for i in (1, 2, 3):  # CV corr / avg F1 / max F1
+        assert abs(par[0][i] - seq[0][i]) < 0.02, (par, seq)
+
+
+def test_fold_parallel_sumgan_chunked_resume_roundtrip(tmp_path, synth_h5):
+    """Chunked stacks checkpoint under per-chunk tagged paths
+    (state_*_stacked_f<base>.ckpt) and resume without pytree mismatch."""
+    import glob
+
+    from summarizer_tpu.train.loop import train
+
+    log_dir = str(tmp_path / "gan_chunk_resume_logs")
+    extra = dict(_GAN_TINY, fold_parallel_hbm_gb=1.5e-3)
+    hps1, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra,
+        fold_parallel=1, resume=True, epochs=2, test_every_epochs=1,
+        log_dir=log_dir,
+    )
+    train(hps1)
+    states = glob.glob(os.path.join(log_dir, "*stacked_f*.ckpt"))
+    assert len(states) >= 2, f"expected per-chunk tagged states, got {states}"
+    hps2, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra,
+        fold_parallel=1, resume=True, epochs=4, test_every_epochs=1,
+        log_dir=log_dir, log_level="info",
+    )
+    res = train(hps2)
+    assert np.isfinite(res[0][1])
+    log_text = open(os.path.join(log_dir, "train.log")).read()
+    assert "Resumed stacked folds at epoch 2" in log_text
+
+
 def test_fold_parallel_gan_hbm_guard_falls_back(tmp_path, synth_h5):
     """A stacked GAN state bigger than the HBM budget must fall back to the
     sequential path (not OOM mid-run)."""
