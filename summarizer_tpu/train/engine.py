@@ -217,8 +217,21 @@ class Engine:
 
             all_keys = list(self.dataset.videos.keys())
             pack = pack_train(self.dataset.subset(all_keys), t_max=self.t_max)
+            # Opt-in bf16 residency (--pack_dtype bfloat16): at LOL scale the
+            # padded f32 pack is 318 x 3200 x 1024 x 4 B ~ 4.2 GB of HBM that
+            # sits under the whole run; the bf16 recurrent path casts features
+            # to bf16 at every cell matmul anyway (nn/policy.py), so storing
+            # the pack bf16 halves that residency.  The GAN x LOL sweep rows
+            # need the headroom (DATASET_OVERRIDES); precision-sensitive f32
+            # paths keep the float32 default.
+            pk_dt = str(self.hp.get("pack_dtype", "float32"))
+            if pk_dt not in ("float32", "bfloat16"):
+                raise ValueError(f"pack_dtype must be float32|bfloat16, got {pk_dt}")
+            feats_h = pack.features if pk_dt == "float32" else np.asarray(
+                pack.features, dtype=jnp.bfloat16
+            )
             cached = self._stacked_pack = (
-                jax.device_put(pack.features),
+                jax.device_put(feats_h),
                 jax.device_put(pack.targets),
                 jax.device_put(pack.mask),
             )

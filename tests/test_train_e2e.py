@@ -624,6 +624,32 @@ def test_fold_parallel_sumgan_chunked_resume_roundtrip(tmp_path, synth_h5):
     assert "Resumed stacked folds at epoch 2" in log_text
 
 
+def test_gan_bf16_resident_pack(tmp_path, synth_h5):
+    """--pack_dtype bfloat16 (the GAN x LOL HBM-headroom knob) stores the
+    dataset-resident train pack in bf16 and trains end to end with finite
+    metrics; the bf16 cells cast features at the matmuls regardless
+    (nn/policy.py), so the pack dtype only changes residency."""
+    import jax.numpy as jnp
+
+    from summarizer_tpu.train.loop import train
+
+    extra = dict(_GAN_TINY, pack_dtype="bfloat16", split_phases=1)
+    hps, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra, k=1, epochs=2,
+        log_dir=str(tmp_path / "gan_bf16_pack_logs"),
+    )
+    res = train(hps)
+    assert np.isfinite(res[0][1]) and res[0][2] > 0
+    # The engine's cached pack really is bf16-resident (fresh engine —
+    # train() owns and tears down its own).
+    from summarizer_tpu.data.hdf5 import SummarizerDataset
+    from summarizer_tpu.train.loop import make_engine
+
+    eng = make_engine(hps, SummarizerDataset(str(synth_h5)), "synthetic")
+    feats, _, _ = eng._full_train_pack()
+    assert feats.dtype == jnp.bfloat16
+
+
 def test_fold_parallel_gan_hbm_guard_falls_back(tmp_path, synth_h5):
     """A stacked GAN state bigger than the HBM budget must fall back to the
     sequential path (not OOM mid-run)."""
