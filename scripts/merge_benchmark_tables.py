@@ -149,7 +149,7 @@ def main():
 
     order = ["Random", "Logistic Regression", "VASNet", "VASNet_loc",
              "Transformer", "Transformer-MoE", "vsLSTM", "DSN", "DSN_sup",
-             "SumGAN", "SumGAN_sup", "SumGAN-att"]
+             "SumGAN", "SumGAN_sup", "SumGAN-att", "Human (LOO)"]
     rows.sort(key=lambda r: (order.index(r[0]) if r[0] in order else 99, r[1]))
 
     table = pd.DataFrame(rows, columns=["Model", "File", "Correlation",

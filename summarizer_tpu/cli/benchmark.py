@@ -106,6 +106,9 @@ MODEL_CONFIGS = [
                                      "bf16": 1, "scan_chunk": 2, "bucket": 0,
                                      "remat": 0, "resume_final_light": 1,
                                      "resume_mid_fold": 0}}),
+    # Table 1's upper-bound row: eval-only, each annotator vs the rest
+    # (human_loo_rows).  epochs 0 — no training happens.
+    ("Human (LOO)", {"model": "human", "epochs": 0, "extra_params": {}}),
 ]
 
 # Per-dataset overrides applied on top of MODEL_CONFIGS when the sweep's
@@ -175,7 +178,40 @@ DATASET_OVERRIDES = {
 }
 
 
+def human_loo_rows(splits_files: str, datasets: str | None = None):
+    """Table 1's "Human, leave-one-out (upper bound)" row — eval-only, no
+    training: each annotator scored against the rest directly from the
+    dataset annotations (ops/eval_np.py::human_leave_one_out; the reference
+    computes this nowhere — the row exists only in Summarizer.pdf Table 1).
+    Single-annotator LOL yields NaN cells, the paper's "—"."""
+    from summarizer_tpu.data.hdf5 import SummarizerDataset
+    from summarizer_tpu.data.splits import parse_splits_filename
+    from summarizer_tpu.ops.eval_np import human_leave_one_out
+    from summarizer_tpu.utils.fingerprint import fixture_tag
+
+    date = datetime.date.today().isoformat()
+    rows = []
+    for sf in splits_files.split(","):
+        ds_name, _ = parse_splits_filename(sf)
+        h5 = datasets or os.path.join(
+            "datasets", f"summarizer_dataset_{ds_name}_google_pool5.h5"
+        )
+        t0 = time.time()
+        ds = SummarizerDataset(h5)
+        corr, avg_f, max_f = human_leave_one_out(list(ds.videos.values()))
+        wall = round(time.time() - t0, 1)
+        rows.append(["Human (LOO)", sf, corr, avg_f, max_f, wall,
+                     "(eval-only)", f"{fixture_tag(h5)} e0 {date}"])
+        logging.info(
+            f"File: {sf}  Corr: {corr: 0.5f}  Avg F-score: {avg_f:0.5f}  "
+            f"Max F-score: {max_f:0.5f}  ({wall:.0f}s total)"
+        )
+    return rows
+
+
 def benchmark_model(name: str, args: dict):
+    if args.get("model") == "human":
+        return human_loo_rows(args["splits_files"], args.get("datasets"))
     logging.info(f"Train {name} model...")
     hps = HParameters()
     hps.load_from_args(args)

@@ -67,6 +67,9 @@ TABLE1 = {
     ("SumGAN-att", "tvsum"): (0.589, 0.827, 0.198),
     ("SumGAN-att", "summe"): (0.229, 0.454, 0.090),
     ("SumGAN-att", "LOL"): (0.565, 0.565, 0.407),
+    # Upper bound, eval-only (no LOL cell: single annotator, paper's "—").
+    ("Human (LOO)", "tvsum"): (0.538, 0.775, 0.204),
+    ("Human (LOO)", "summe"): (0.311, 0.543, 0.329),
 }
 
 

@@ -137,6 +137,50 @@ def generate_summary(
     return np.concatenate(runs) if runs else np.zeros(0, dtype=np.float32)
 
 
+def human_leave_one_out(records, metric: str = "spearmanr"):
+    """Table 1's "Human, leave-one-out (upper bound)" row, computed directly
+    from the annotations (the reference never computes it in code — the row
+    exists only in Summarizer.pdf Table 1; protocol per its caption).
+
+    F1 side: each annotator's binary summary plays the machine summary
+    against the REST of the annotators (``evaluate_summary`` semantics);
+    a video's (avg, max) F1 is the mean over annotators of that user's
+    (avg, max) vs the rest.  Corr side: each annotator's per-frame scores
+    vs the remaining annotators' (``evaluate_scores`` semantics).  A video
+    with <2 annotators on a side contributes nothing to that side —
+    single-annotator LOL yields NaN, the paper's "—".
+
+    Returns (corr, avg_f1, max_f1) averaged over videos.
+    """
+    af, mf, cc = [], [], []
+    for r in records:
+        us = r.user_summary
+        if us is not None and us.shape[0] >= 2:
+            a_list, m_list = [], []
+            for u in range(us.shape[0]):
+                rest = np.delete(np.asarray(us), u, axis=0)
+                a, m = evaluate_summary(np.asarray(us)[u], rest)
+                a_list.append(a)
+                m_list.append(m)
+            af.append(float(np.mean(a_list)))
+            mf.append(float(np.mean(m_list)))
+        sc = r.user_scores
+        if sc is not None and sc.shape[0] >= 2:
+            cs = [
+                evaluate_scores(
+                    np.asarray(sc)[u], np.delete(np.asarray(sc), u, axis=0), metric
+                )
+                for u in range(sc.shape[0])
+            ]
+            cc.append(float(np.mean(cs)))
+    nan = float("nan")
+    return (
+        float(np.mean(cc)) if cc else nan,
+        float(np.mean(af)) if af else nan,
+        float(np.mean(mf)) if mf else nan,
+    )
+
+
 def evaluate_summary(
     machine_summary: np.ndarray, user_summary: np.ndarray
 ) -> tuple[float, float]:

@@ -153,3 +153,40 @@ def test_device_eval_kendall_matches_oracle(synth_records):
         ]
     )
     np.testing.assert_allclose(corr_d, corr_h, atol=2e-4)
+
+
+def test_human_leave_one_out(synth_records):
+    """Table 1's upper-bound row: hand-check against a direct per-annotator
+    loop over evaluate_summary / evaluate_scores, plus the single-annotator
+    (LOL) NaN contract."""
+    import dataclasses
+
+    corr, avg_f, max_f = eval_np.human_leave_one_out(synth_records)
+    assert np.isfinite([corr, avg_f, max_f]).all()
+    assert 0.0 <= avg_f <= max_f <= 1.0
+
+    # Hand-computed on the first record.
+    r = synth_records[0]
+    a_ref, m_ref, c_ref = [], [], []
+    for u in range(r.user_summary.shape[0]):
+        rest = np.delete(r.user_summary, u, axis=0)
+        a, m = eval_np.evaluate_summary(r.user_summary[u], rest)
+        a_ref.append(a)
+        m_ref.append(m)
+        c_ref.append(
+            eval_np.evaluate_scores(
+                r.user_scores[u], np.delete(r.user_scores, u, axis=0)
+            )
+        )
+    c1, a1, m1 = eval_np.human_leave_one_out([r])
+    np.testing.assert_allclose(
+        [c1, a1, m1], [np.mean(c_ref), np.mean(a_ref), np.mean(m_ref)],
+        atol=1e-12,
+    )
+
+    # Single annotator: both sides undefined -> NaN (the paper's LOL dash).
+    solo = dataclasses.replace(
+        r, user_summary=r.user_summary[:1], user_scores=r.user_scores[:1]
+    )
+    c, a, m = eval_np.human_leave_one_out([solo])
+    assert np.isnan(c) and np.isnan(a) and np.isnan(m)

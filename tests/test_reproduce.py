@@ -11,10 +11,13 @@ from summarizer_tpu.cli import reproduce
 
 
 def test_table1_transcription_complete():
-    # 10 Table-1 families x 3 datasets (BASELINE.md Table 1).
-    assert len(reproduce.TABLE1) == 30
+    # 10 Table-1 families x 3 datasets + the Human upper bound on
+    # tvsum/summe (no LOL cell: single annotator) — BASELINE.md Table 1.
+    assert len(reproduce.TABLE1) == 32
     models = {m for m, _ in reproduce.TABLE1}
     assert "SumGAN-att" in models and "VASNet_loc" in models
+    assert "Human (LOO)" in models
+    assert ("Human (LOO)", "LOL") not in reproduce.TABLE1
     for (_, ds), (avg_f, max_f, corr) in reproduce.TABLE1.items():
         assert 0.0 <= avg_f <= max_f <= 1.0
         assert -1.0 <= corr <= 1.0
