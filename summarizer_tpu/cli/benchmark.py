@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import re
 import logging
 import os
 import time
@@ -300,6 +301,12 @@ def main(argv=None):
     parser.add_argument("--one", type=str, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--in-process", action="store_true",
                         help="Run configs in this process (no crash isolation)")
+    parser.add_argument("--set", action="append", default=[], dest="overrides",
+                        help="k=v applied to every selected config AFTER the "
+                             "dataset overrides (A/B probes: --set "
+                             "fold_parallel=0). Known top-level keys override "
+                             "the run args; anything else lands in "
+                             "extra_params.")
     args, _ = parser.parse_known_args(argv)
 
     def run_args_for(cfg, name=None):
@@ -320,6 +327,15 @@ def main(argv=None):
                         run_args["extra_params"].update(v)
                     else:
                         run_args[k] = v
+        for kv in args.overrides:
+            k, _, v = kv.partition("=")
+            v = float(v) if re.match(r"^-?\d+\.\d*$", v) else (
+                int(v) if re.match(r"^-?\d+$", v) else v)
+            if k in ("epochs", "fold_parallel", "fused", "test_every_epochs",
+                     "model", "datasets"):
+                run_args[k] = v
+            else:
+                run_args["extra_params"][k] = v
         run_args["epochs"] = min(run_args["epochs"], args.max_epochs)
         run_args["splits_files"] = args.splits_files
         run_args["log_level"] = "error"
@@ -410,6 +426,8 @@ def main(argv=None):
                      "--one", name, "-e", str(args.max_epochs), "-s", sf]
             if args.datasets:
                 child += ["--datasets", args.datasets]
+            for kv in args.overrides:
+                child += ["--set", kv]
             got = False
             # 8 attempts: the tunneled worker dies roughly every 10 min of
             # sustained GAN load while a GAN (config, dataset) needs ~45 min
