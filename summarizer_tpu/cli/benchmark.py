@@ -349,7 +349,6 @@ def main(argv=None):
         # crash CONTINUE from the last checkpointed fold/epoch rather than
         # restart from scratch.
         import json
-        import re
 
         cfg = dict(dict(MODEL_CONFIGS)[args.one])
         ra = run_args_for(cfg, args.one)
