@@ -142,25 +142,28 @@ DATASET_OVERRIDES = {
         # ~7x a TVSum epoch; batch 10 halves the per-video streaming vs 5
         # and ~3 epochs + 2 pretrain keeps a family's 5-fold CV near an
         # hour on one chip.
-        # batch 8 + bf16-resident pack (round 4): at batch 10 + an f32 pack
-        # the split-phase discriminator step RESOURCE_EXHAUSTs HBM at
-        # T<=3200 — the 4.2 GB padded f32 pack plus ~2.3 GB GAN train state
-        # leaves too little for the (B, T, 4H) phase residuals.  pack_dtype
-        # bfloat16 halves the pack (the bf16 cells cast features to bf16 at
-        # the matmuls regardless, nn/policy.py); batch 8 trims residuals
-        # ~20% more and still divides the ~254-video fold trains cleanly-ish.
+        # HBM calibration (round 4, measured by failed-attempt bisection):
+        # batch 10 + f32 pack OOMs at the FIRST phase backward; batch 8 +
+        # bf16 pack gets through step_s/step_d and OOMs at step_c (the
+        # deepest chain: grads through generator+discriminator on both
+        # decodes).  The 4.2 GB padded f32 pack -> 2.1 bf16 (pack_dtype;
+        # the bf16 cells cast features at the matmuls regardless,
+        # nn/policy.py), batch 6 trims phase residuals another ~25%, and
+        # int8 weight streaming (same knob as the committed summe/tvsum GAN
+        # rows) drops the streamed copies and buys back the smaller batch's
+        # throughput (~+38% at equal dynamics, BENCH_NOTES).
         "SumGAN": {"epochs": 3, "test_every_epochs": 2,
-                   "extra_params": {"batch_size": 8, "pretrain_vae": 2,
+                   "extra_params": {"batch_size": 6, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1,
-                                    "resume_final_light": 1,
+                                    "resume_final_light": 1, "int8": 1,
                                     "pack_dtype": "bfloat16"}},
         "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
-                       "extra_params": {"batch_size": 8, "pretrain_vae": 2,
+                       "extra_params": {"batch_size": 6, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1,
-                                        "pack_dtype": "bfloat16"}},
+                                        "int8": 1, "pack_dtype": "bfloat16"}},
         "SumGAN-att": {"epochs": 3, "test_every_epochs": 2,
-                       "extra_params": {"batch_size": 8, "pretrain_ae": 4,
+                       "extra_params": {"batch_size": 6, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1,
                                         "pack_dtype": "bfloat16"}},
