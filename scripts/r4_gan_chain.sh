@@ -61,4 +61,13 @@ for m in "Logistic Regression" VASNet VASNet_loc vsLSTM DSN DSN_sup; do
   done
 done
 merge
+
+echo "=== [E] re-fingerprint remaining pre-r4 supervised rows (vsLSTM, MoE)"
+for m in vsLSTM Transformer-MoE; do
+  echo "--- $m / summe+tvsum"
+  { time python -m summarizer_tpu.cli.benchmark --models "$m" \
+      -s splits/tvsum_splits.json,splits/summe_splits.json \
+      >> /tmp/r4b_sweep.log 2>&1 ; } 2>&1
+  merge
+done
 echo "CHAIN R4B DONE"
