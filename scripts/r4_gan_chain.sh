@@ -27,20 +27,28 @@ for m in SumGAN_sup SumGAN-att; do
 done
 
 echo "=== [B] SumGAN chunked fold-parallel probe (tvsum, 2 epochs)"
+# Two-stage: a 2-fold stack doubles the phase activations, so try the fast
+# no-remat int8 shape first, fall back to remat (bounded residuals, ~-25%
+# throughput), else sequential.
 PROBE_LOG=/tmp/r4b_probe.log
-python -m summarizer_tpu.cli.benchmark --models SumGAN \
-    -s splits/tvsum_splits.json --in-process -e 2 \
-    --set fold_parallel=1 --set fold_parallel_hbm_gb=5 \
-    > "$PROBE_LOG" 2>&1
-PROBE_RC=$?
-grep -q "BENCHROW\|Table saved" "$PROBE_LOG" && probe_done=1 || probe_done=0
-if [ "$PROBE_RC" -eq 0 ] && [ "$probe_done" -eq 1 ]; then
-  echo "PROBE OK — fold-parallel GAN re-sweep"
-  FP_ARGS=(--set fold_parallel=1 --set fold_parallel_hbm_gb=5)
-else
-  echo "PROBE FAILED (rc=$PROBE_RC) — sequential timed sweep"
-  FP_ARGS=()
-fi
+FP_ARGS=()
+for extra in "" "--set remat=1"; do
+  # shellcheck disable=SC2086
+  { time python -m summarizer_tpu.cli.benchmark --models SumGAN \
+      -s splits/tvsum_splits.json --in-process -e 2 \
+      --set fold_parallel=1 --set fold_parallel_hbm_gb=5 $extra \
+      > "$PROBE_LOG" 2>&1 ; } 2>&1
+  rc=$?
+  if [ $rc -eq 0 ] && grep -q "Table saved" "$PROBE_LOG" \
+      && ! grep -q "RESOURCE_EXHAUSTED" "$PROBE_LOG"; then
+    echo "PROBE OK (extra='$extra') — fold-parallel GAN re-sweep"
+    # shellcheck disable=SC2206
+    FP_ARGS=(--set fold_parallel=1 --set fold_parallel_hbm_gb=5 $extra)
+    break
+  fi
+  echo "probe variant failed (rc=$rc, extra='$extra'), trying next"
+done
+[ ${#FP_ARGS[@]} -eq 0 ] && echo "PROBE FAILED — sequential timed sweep"
 
 echo "=== [C] timed full-budget GAN sweep (summe+tvsum)"
 { time python -m summarizer_tpu.cli.benchmark --models sumgan,sumgan_att \
