@@ -18,8 +18,8 @@ TIMEFORMAT='CHAIN_TIME real %R s'
 
 merge() { python scripts/merge_benchmark_tables.py > /tmp/r4b_merge.log 2>&1; }
 
-echo "=== [A] GAN x LOL remainder ($(date -u +%H:%M:%S))"
-for m in SumGAN_sup SumGAN-att; do
+echo "=== [A] GAN x LOL rows ($(date -u +%H:%M:%S))"
+for m in SumGAN SumGAN_sup SumGAN-att; do
   echo "--- $m / LOL"
   { time python -m summarizer_tpu.cli.benchmark --models "$m" \
       -s splits/LOL_splits.json >> /tmp/r4b_sweep.log 2>&1 ; } 2>&1

@@ -152,13 +152,16 @@ DATASET_OVERRIDES = {
         # int8 weight streaming (same knob as the committed summe/tvsum GAN
         # rows) drops the streamed copies and buys back the smaller batch's
         # throughput (~+38% at equal dynamics, BENCH_NOTES).
+        # batch 4: bisected on-device (scripts note in /tmp/repro_lol_step) —
+        # the (B, T=3200) step_c backward OOMs at B=6 even with int8+remat+
+        # bf16 pack, fits at B<=4 (steady 4.5 s/group at the worst bucket).
         "SumGAN": {"epochs": 3, "test_every_epochs": 2,
-                   "extra_params": {"batch_size": 6, "pretrain_vae": 2,
+                   "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1,
                                     "resume_final_light": 1, "int8": 1,
                                     "pack_dtype": "bfloat16"}},
         "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
-                       "extra_params": {"batch_size": 6, "pretrain_vae": 2,
+                       "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1,
                                         "int8": 1, "pack_dtype": "bfloat16"}},
