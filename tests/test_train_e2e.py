@@ -624,6 +624,34 @@ def test_fold_parallel_sumgan_chunked_resume_roundtrip(tmp_path, synth_h5):
     assert "Resumed stacked folds at epoch 2" in log_text
 
 
+def test_fold_parallel_sumgan_int8_chunked_matches_sequential(tmp_path, synth_h5):
+    """The sweep's GAN configs stream int8 weights (cli/benchmark.py
+    MODEL_CONFIGS); the chunked fold-parallel path must reproduce the
+    sequential path's metrics under int8 too (quantization happens at trace
+    time inside the vmapped fold axis — both sides quantize identically)."""
+    from summarizer_tpu.train.loop import train
+
+    extra = dict(_GAN_TINY, int8=1, remat=0)
+    hps_seq, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra, epochs=3,
+        log_dir=str(tmp_path / "gan_int8_seq_logs"),
+    )
+    seq = train(hps_seq)
+    extra_p = dict(extra, fold_parallel_hbm_gb=1.5e-3)
+    hps_par, _ = _mk_kfold_hps(
+        tmp_path, synth_h5, "sumgan", extra_p, epochs=3,
+        fold_parallel=1, log_dir=str(tmp_path / "gan_int8_par_logs"),
+        log_level="info",
+    )
+    par = train(hps_par)
+    log_text = open(
+        os.path.join(str(tmp_path / "gan_int8_par_logs"), "train.log")
+    ).read()
+    assert "chunked stacks of 2" in log_text
+    for i in (1, 2, 3):
+        assert abs(par[0][i] - seq[0][i]) < 0.02, (par, seq)
+
+
 def test_gan_bf16_resident_pack(tmp_path, synth_h5):
     """--pack_dtype bfloat16 (the GAN x LOL HBM-headroom knob) stores the
     dataset-resident train pack in bf16 and trains end to end with finite
