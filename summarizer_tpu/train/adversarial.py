@@ -267,7 +267,10 @@ class _AdversarialBase(Engine):
             groups = jnp.asarray(perm[: (n // bs) * bs].reshape(-1, bs))
             acc, count = None, 0
             for sel in _perm_chunks(groups, chunk):
-                self.heartbeat()
+                self.heartbeat(
+                    f"3phase-scan epoch={epoch} groups={int(sel.shape[0])}"
+                    f"x{int(sel.shape[-1])}"
+                )
                 k_ep, k_c = jax.random.split(k_ep)
                 params, opt_states, stats = epoch_fn(
                     params, opt_states, feats, targets, mask, sel, k_c,
@@ -290,6 +293,7 @@ class _AdversarialBase(Engine):
                 self.scalar(fold, "Train", tag, v, epoch)
 
             if epoch % int(hps.test_every_epochs) == 0:
+                self.heartbeat(f"eval fold={fold} epoch={epoch}")
                 corr, af1, mf1 = eval_fn(params, k_ev)
                 self.scalar(fold, "Test", "Correlation", corr, epoch)
                 self.scalar(fold, "Test", "F-score_avg", af1, epoch)
@@ -671,6 +675,10 @@ class _AdversarialBase(Engine):
             total, count = 0.0, 0
             for sel in _perm_chunks(groups, chunk):
                 k_ep, k_c = jax.random.split(k_ep)
+                self.heartbeat(
+                    f"pretrain epoch={epoch} chunk={count // bs} "
+                    f"B={int(sel.shape[-1])} T={int(feats.shape[1])}"
+                )
                 params, opt_state, loss = pre_chunk(
                     params, opt_state, feats, mask, sel, k_c
                 )
@@ -803,11 +811,6 @@ class _AdversarialBase(Engine):
             keys = jax.random.split(rng, g)
             sel_np = np.asarray(sel_groups)
             for gi in range(g):
-                # Per-group heartbeat: the first LOL epoch compiles one
-                # 3-phase program per 128-step length bucket (minutes each
-                # on a 1-core host) with no metric writes in between — the
-                # sweep watchdog would otherwise read it as a dead worker.
-                self.heartbeat()
                 # Per-group pad: the group's own max length, rounded up to
                 # 128 steps (one compile per distinct bucket, cached).  The
                 # shape guard keeps a bucket from landing on a known
@@ -821,6 +824,15 @@ class _AdversarialBase(Engine):
                     ))
                 else:
                     bt = t_full
+                # Per-group heartbeat WITH the program shape: the first LOL
+                # epoch compiles one 3-phase program per 128-step bucket
+                # (minutes each on a 1-core host) with no metric writes in
+                # between — the sweep watchdog would otherwise read it as a
+                # dead worker; and when a worker abort is deterministic the
+                # payload names the killer shape (engine.heartbeat).
+                self.heartbeat(
+                    f"3phase group={gi}/{g} B={int(sel_np[gi].size)} bt={bt}"
+                )
                 x, y, m = gather(feats, targets, mask, sel_groups[gi], bt)
                 k1, k2, k3 = jax.random.split(keys[gi], 3)
                 params, s_se, lse, _ = step_se(params, s_se, x, y, m, k1)

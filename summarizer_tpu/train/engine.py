@@ -651,20 +651,29 @@ class Engine:
         if th is not None and th.is_alive():
             th.join()
 
-    def heartbeat(self):
+    def heartbeat(self, where: str = ""):
         """Touch ``<log_path>/heartbeat`` from the MAIN thread at real
         progress points (fold start, resume load, epochs, evals).  The sweep
         watchdog kills children whose log dir goes quiet; phases that write
         no metrics (resume-skipping a finished fold loads gigabytes without
         logging) need this to not read as a dead-worker hang.  A thread
         would defeat the purpose: a hung device RPC blocks the main thread,
-        and exactly then the touches must stop."""
+        and exactly then the touches must stop.
+
+        ``where`` (optional) is written INTO the file: when a worker abort is
+        deterministic (QUIRKS.md, the (20, 648) SumGAN program), the last
+        payload names the exact program shape that killed it — the bisection
+        that took a day in round 3 becomes one crash + one read."""
         import os
 
         path = os.path.join(self.hps.log_path, "heartbeat")
         try:
-            with open(path, "a"):
-                os.utime(path)
+            if where:
+                with open(path, "w") as f:
+                    f.write(where)
+            else:
+                with open(path, "a"):
+                    os.utime(path)
         except OSError:
             pass
 
