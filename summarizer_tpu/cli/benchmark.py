@@ -155,20 +155,31 @@ DATASET_OVERRIDES = {
         # batch 4: bisected on-device (scripts note in /tmp/repro_lol_step) —
         # the (B, T=3200) step_c backward OOMs at B=6 even with int8+remat+
         # bf16 pack, fits at B<=4 (steady 4.5 s/group at the worst bucket).
+        # resume_mid_fold=1 + save_sync=1 (unlike the summe/tvsum GAN rows):
+        # a LOL fold at batch 4 (~15 min) exceeds the tunneled worker's
+        # ~8-min MTBF under sustained GAN load, so without the post-pretrain
+        # snapshot and gated mid-fold saves every retry restarts the fold
+        # from zero — a livelock, observed live in round 4.  save_sync keeps
+        # the 2.3 GB state pull from pinning a stale device copy alongside
+        # the next epoch's allocations (the batch-6 OOM margin).
         "SumGAN": {"epochs": 3, "test_every_epochs": 2,
                    "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1,
                                     "resume_final_light": 1, "int8": 1,
+                                    "resume_mid_fold": 1, "save_sync": 1,
                                     "pack_dtype": "bfloat16"}},
         "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1,
-                                        "int8": 1, "pack_dtype": "bfloat16"}},
+                                        "int8": 1, "resume_mid_fold": 1,
+                                        "save_sync": 1,
+                                        "pack_dtype": "bfloat16"}},
         "SumGAN-att": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 6, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
                                         "split_phases": 1, "resume_final_light": 1,
+                                        "resume_mid_fold": 1, "save_sync": 1,
                                         "pack_dtype": "bfloat16"}},
     },
     "summe": {

@@ -308,14 +308,21 @@ class _AdversarialBase(Engine):
                     # epoch programs don't donate buffers, so the reference
                     # stays valid; the one pull happens at weights-save time.
                     best.best_params = params
-                if getattr(hps, "resume", False):
-                    from summarizer_tpu.train.resume import TrainState
+            if getattr(hps, "resume", False):
+                # Per-EPOCH (not per-eval) gated crash protection: a LOL
+                # fold's epochs are ~4-5 min each against a worker MTBF of
+                # ~8 min under GAN load — saving only at eval epochs left
+                # multi-epoch stretches a crash would replay (the gate's
+                # min-interval/3x-cost rule still limits actual save
+                # frequency; summe/tvsum sweeps disable these entirely via
+                # resume_mid_fold=0).
+                from summarizer_tpu.train.resume import TrainState
 
-                    self.maybe_save_state(
-                        state_path,
-                        TrainState(params=params, opt_state=opt_states,
-                                   epoch=epoch + 1, rng=rng),
-                    )
+                self.maybe_save_state(
+                    state_path,
+                    TrainState(params=params, opt_state=opt_states,
+                               epoch=epoch + 1, rng=rng),
+                )
         if getattr(hps, "resume", False) and start_epoch < int(hps.epochs):
             # Unconditional save at fold end: the wall-gated saves above can
             # be several epochs stale, which would make a resumed run re-train

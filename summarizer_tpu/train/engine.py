@@ -622,6 +622,14 @@ class Engine:
         th = threading.Thread(target=_do, daemon=True)
         th.start()
         self._save_thread = th
+        if int(self.hp.get("save_sync", 0)):
+            # --param save_sync=1 (HBM-marginal configs, e.g. the GAN x LOL
+            # sweep at batch 4): an ASYNC save pins the snapshotted device
+            # state (params + 3 Adam chains, ~2.3 GB) while the next epoch
+            # allocates its own — exactly the margin the batch bisection
+            # left.  Joining trades ~save-cost seconds of wall for zero
+            # HBM overlap.
+            th.join()
         if not getattr(self, "_save_atexit_registered", False):
             # Durability without relying on every caller to flush_saves():
             # the save thread is a daemon (a hung tunnel device_get must not
