@@ -32,6 +32,12 @@ KNOWN_FATAL = {
     # T=3200 runs repeatedly in isolation.  Suspected second instance of
     # the same backend fault family; padding to 1032 dodges it.
     ("sumgan_3phase", 4, 1024),
+    # Same sweep, same signature: attempts 7 and 8 each died at
+    # "3phase group=1/2 B=4 bt=3072" (after the 1024 guard let them run
+    # 30 min through every bucket below).  (4, 3200) is proven good by
+    # repeated isolated runs, so nudging 3072 -> 3080 stays in known-good
+    # territory.
+    ("sumgan_3phase", 4, 3072),
 }
 
 _FATAL_BY_TAG_T: dict[tuple[str, int], int] = {}
