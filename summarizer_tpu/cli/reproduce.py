@@ -29,6 +29,7 @@ Steps:
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import subprocess
 import sys
@@ -155,7 +156,16 @@ def main(argv=None):
     if _run(bench):
         raise SystemExit("benchmark sweep failed")
 
-    if _run([py, "scripts/merge_benchmark_tables.py"]):
+    # Subprocess-mode rows land durably in logs/benchmark_rows.jsonl, which
+    # the merge reads by itself; the --dry-run in-process sweep only writes
+    # its own table.txt, so pass the freshest one explicitly.
+    merge_cmd = [py, "scripts/merge_benchmark_tables.py"]
+    tables = sorted(
+        glob.glob("logs/*_benchmark/table.txt"), key=os.path.getmtime
+    )
+    if tables:
+        merge_cmd.append(tables[-1])
+    if _run(merge_cmd):
         raise SystemExit("table merge failed")
 
     raise SystemExit(compare_vs_table1(args.f1_tol, informational=args.dry_run))

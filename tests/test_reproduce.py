@@ -56,7 +56,10 @@ def test_chain_order_and_flags(monkeypatch, tmp_path, capsys):
         reproduce.main(["--dry-run"])
     assert e.value.code == 0
     # download --synthetic, then benchmark (tiny budgets), then merge.
-    assert [c[-1].split("/")[-1] if c[1] != "-m" else c[2] for c in calls] == [
+    def head(c):
+        return c[2] if c[1] == "-m" else c[1].split("/")[-1]
+
+    assert [head(c) for c in calls] == [
         "summarizer_tpu.cli.download",
         "summarizer_tpu.cli.benchmark",
         "merge_benchmark_tables.py",
