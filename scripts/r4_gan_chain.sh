@@ -79,3 +79,9 @@ for m in vsLSTM Transformer-MoE; do
   merge
 done
 echo "CHAIN R4B DONE"
+
+echo "=== [F] SumGAN x LOL retry (fresh 8-attempt budget, guards + resume in place)"
+{ time python -m summarizer_tpu.cli.benchmark --models SumGAN \
+    -s splits/LOL_splits.json >> /tmp/r4b_sweep.log 2>&1 ; } 2>&1
+merge
+echo "CHAIN R4B DONE (incl. F)"
