@@ -165,20 +165,23 @@ DATASET_OVERRIDES = {
         "SumGAN": {"epochs": 3, "test_every_epochs": 2,
                    "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                     "remat": 1, "bucket": 1, "split_phases": 1,
+                                    "bucket_quantum": 1024,
                                     "resume_final_light": 1, "int8": 1,
                                     "resume_mid_fold": 1, "save_sync": 1,
                                     "pack_dtype": "bfloat16"}},
         "SumGAN_sup": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 4, "pretrain_vae": 2,
                                         "remat": 1, "bucket": 1,
-                                        "split_phases": 1, "resume_final_light": 1,
+                                        "split_phases": 1,
+                                        "bucket_quantum": 1024, "resume_final_light": 1,
                                         "int8": 1, "resume_mid_fold": 1,
                                         "save_sync": 1,
                                         "pack_dtype": "bfloat16"}},
         "SumGAN-att": {"epochs": 3, "test_every_epochs": 2,
                        "extra_params": {"batch_size": 6, "pretrain_ae": 4,
                                         "remat": 1, "bucket": 1,
-                                        "split_phases": 1, "resume_final_light": 1,
+                                        "split_phases": 1,
+                                        "bucket_quantum": 1024, "resume_final_light": 1,
                                         "resume_mid_fold": 1, "save_sync": 1,
                                         "pack_dtype": "bfloat16"}},
     },

@@ -30,6 +30,7 @@ one video costs seconds regardless of FLOPs.  Two engine knobs address it:
 
 from __future__ import annotations
 
+import time
 from typing import Sequence
 
 import jax
@@ -254,7 +255,11 @@ class _AdversarialBase(Engine):
                 force=True,
             )
 
-        best = FoldResult(-1.0, 0.0, 0.0, params)
+        # Under donation the initial params buffer dies at the first phase
+        # step — the snapshot must not alias it (filled on first improvement,
+        # or from the live params at fold end).
+        donating = getattr(self, "_donate_phases", False)
+        best = FoldResult(-1.0, 0.0, 0.0, None if donating else params)
         n = len(train_keys)
         bs, chunk = self._sizes(n)
         epoch_noise = cfg["epoch_noise"]
@@ -302,12 +307,27 @@ class _AdversarialBase(Engine):
                 best.best_max_f1 = max(best.best_max_f1, mf1)
                 if corr > best.best_corr:
                     best.best_corr = corr
-                    # Device-resident snapshot: a device_get here pulled the
-                    # full ~760 MB GAN params through the 20 MB/s tunnel per
-                    # improvement (up to eval-cadence times per fold).  The
-                    # epoch programs don't donate buffers, so the reference
-                    # stays valid; the one pull happens at weights-save time.
-                    best.best_params = params
+                    if donating:
+                        # The params buffer will be donated at the next phase
+                        # step, so an alias would die with it: pull the
+                        # snapshot to host.  ~40 s per improvement for a full
+                        # SumGAN through the 20 MB/s tunnel, bounded by the
+                        # eval cadence (donation is enabled for HBM-marginal
+                        # configs where the headroom is worth the pull).
+                        t_pull = time.monotonic()
+                        best.best_params = jax.device_get(params)
+                        self.log.info(
+                            "best-params host snapshot "
+                            f"({time.monotonic() - t_pull:.0f}s)"
+                        )
+                    else:
+                        # Device-resident snapshot: a device_get here pulled
+                        # the full ~760 MB GAN params through the 20 MB/s
+                        # tunnel per improvement (up to eval-cadence times per
+                        # fold).  The epoch programs don't donate buffers, so
+                        # the reference stays valid; the one pull happens at
+                        # weights-save time.
+                        best.best_params = params
             if getattr(hps, "resume", False):
                 # Per-EPOCH (not per-eval) gated crash protection: a LOL
                 # fold's epochs are ~4-5 min each against a worker MTBF of
@@ -350,6 +370,10 @@ class _AdversarialBase(Engine):
                 best = FoldResult(corr, af1, mf1, params)  # device-resident
         else:
             self.save_fold_metrics(state_path, [best])
+        if best.best_params is None:
+            # Donating fold where no eval improved on the sentinel (e.g. NaN
+            # correlations): the final params are the only real candidate.
+            best.best_params = params
         return best
 
     def pretrain(self, params, feats, targets, mask, cfg, rng):
@@ -784,6 +808,28 @@ class _AdversarialBase(Engine):
 
         dp = self._dp_shard()
 
+        # Donate (params, opt_state) into each phase step: without it every
+        # update transiently holds old+new params (2x780 MB) AND old+new
+        # moments of that phase's Adam chain (2x up to 870 MB) on top of the
+        # backward temps — measured round 4 as the margin between the
+        # isolated (B=4, T=3200) step fitting and the full GAN x LOL sweep
+        # OOMing at the same program.  Donation changes no numerics, but a
+        # donated buffer dies at the next step call, so it is only safe when
+        # nothing else holds the old params/opt_state across steps:
+        # mid-fold state saves must be synchronous (save_sync) or disabled
+        # (resume_mid_fold=0 / no resume) — an ASYNC save thread device_gets
+        # a state the next epoch's first step has already donated.
+        # train_fold handles the other alias (best_params) by pulling the
+        # improvement snapshot to host when donation is active.
+        hp = self.hp
+        saves_overlap_steps = (
+            getattr(self.hps, "resume", False)
+            and int(hp.get("resume_mid_fold", 1))
+            and not int(hp.get("save_sync", 0))
+        )
+        donate = bool(int(hp.get("donate", 0 if saves_overlap_steps else 1)))
+        self._donate_phases = donate
+
         def phase_step(loss, opt, n_extra, static_argnums=()):
             def step(params, opt_state, x, *args):
                 out, grads = jax.value_and_grad(loss, has_aux=n_extra)(
@@ -793,7 +839,8 @@ class _AdversarialBase(Engine):
                 upd, opt_state = opt.update(grads, opt_state, params)
                 return optax.apply_updates(params, upd), opt_state, loss_val, aux
 
-            return jax.jit(step, static_argnums=static_argnums)
+            return jax.jit(step, static_argnums=static_argnums,
+                           donate_argnums=(0, 1) if donate else ())
 
         step_se = phase_step(loss_se, opt_se, False)
         step_d = phase_step(loss_d, opt_d, False)
@@ -810,6 +857,13 @@ class _AdversarialBase(Engine):
 
         lens = getattr(self, "_host_lengths", None)
         t_full = int(self.t_max)
+        # Bucket granularity: every distinct padded T compiles its own
+        # 3-phase program (minutes each on the 1-core tunneled host) and its
+        # executable stays resident in HBM.  LOL's 800-3200 length spread at
+        # the default 128-step quantum produces ~20 buckets x 3 phases; the
+        # LOL GAN sweep sets bucket_quantum=1024 (~4 buckets), trading ~15%
+        # more padded streaming for ~4x fewer compiles and their HBM.
+        quantum = max(128, int(hp.get("bucket_quantum", 128)))
 
         def epoch_chunk(params, opt_states, feats, targets, mask, sel_groups, rng, noise):
             s_se, s_d, s_c = opt_states
@@ -823,7 +877,8 @@ class _AdversarialBase(Engine):
                 # shape guard keeps a bucket from landing on a known
                 # worker-fatal (group, T); t_full itself is guarded at init.
                 if lens is not None:
-                    bt = ((int(lens[sel_np[gi]].max()) + 127) // 128) * 128
+                    mx = int(lens[sel_np[gi]].max())
+                    bt = ((mx + quantum - 1) // quantum) * quantum
                     from summarizer_tpu.train.shape_guard import guard_padded_t
 
                     bt = min(t_full, guard_padded_t(

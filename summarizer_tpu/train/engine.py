@@ -123,9 +123,19 @@ class Engine:
             slots = jnp.asarray(
                 np.array([self._slot[k] for k in keys], np.int32)
             )
-            feats = jax.jit(lambda a, i: a[i, :s])(shared[0], slots)
+            gather_eval = jax.jit(lambda a, i: a[i, :s])
+
+            def get_feats():
+                # Gather lazily per eval call instead of holding the test
+                # slice (~400 MB at LOL scale) resident for the whole fold:
+                # the gathered buffer lives only while the eval runs, when
+                # the train step's transients are not in flight.
+                return gather_eval(self._stacked_pack[0], slots)
         else:
-            feats = jax.device_put(feats)
+            feats_dev = jax.device_put(feats)
+
+            def get_feats():
+                return feats_dev
         mask = (np.arange(s)[None, :] < np.asarray(batch.n_steps)[:, None]).astype(
             np.float32
         )
@@ -137,7 +147,7 @@ class Engine:
             eval_program = self._device_eval_program()
 
             def run(params, rng):
-                c, a, m = eval_program(params, rng, feats, mask, batch)
+                c, a, m = eval_program(params, rng, get_feats(), mask, batch)
                 return float(c), float(a), float(m)
 
             return run
@@ -153,7 +163,7 @@ class Engine:
             self._eval_forward = forward
 
         def run(params, rng):
-            scores = np.asarray(forward(params, rng, feats, mask))
+            scores = np.asarray(forward(params, rng, get_feats(), mask))
             corrs, af1s, mf1s = [], [], []
             for i, r in enumerate(records):
                 probs = scores[i, : r.n_steps]
