@@ -102,6 +102,15 @@ def fixture_ok(fixture: str, hashes: dict):
 
 def main():
     os.chdir(REPO)
+    # --out <path>: write somewhere other than the committed table.  The
+    # reproduce --dry-run rehearsal uses this so its 1-epoch rows can never
+    # displace full-budget rows in BENCHMARK_TABLE.txt ("newest wins" would
+    # otherwise let a rehearsal clobber the real grid).
+    out_path = "BENCHMARK_TABLE.txt"
+    if "--out" in sys.argv:
+        i = sys.argv.index("--out")
+        out_path = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     import pandas as pd
     from tabulate import tabulate
 
@@ -166,7 +175,7 @@ def main():
               "the committed fixture are refused at merge time.")
     out = header + "\n" + tabulate(table, headers="keys", tablefmt="psql",
                                    showindex=False)
-    with open("BENCHMARK_TABLE.txt", "w") as f:
+    with open(out_path, "w") as f:
         f.write(out + "\n")
     print(out)
 

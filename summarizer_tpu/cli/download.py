@@ -15,6 +15,8 @@ def main(argv=None):
         "(for air-gapped environments)",
     )
     p.add_argument("--videos", type=int, default=50, help="synthetic: videos per dataset")
+    p.add_argument("--force", action="store_true",
+                   help="synthetic: regenerate even if the h5 already exists")
     args = p.parse_args(argv)
 
     if args.synthetic:
@@ -39,6 +41,14 @@ def main(argv=None):
         )
         for name, n, users, lo, hi, planted in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
+            # The generator is deterministic, so an existing file is already
+            # the right bytes; skipping avoids rewriting a 2.6 GB h5 under a
+            # concurrently-running training process (reproduce --dry-run
+            # while a sweep holds the file open).
+            if os.path.exists(path) and os.path.getsize(path) > 0 \
+                    and not args.force:
+                print(f"exists -> {path} (use --force to regenerate)")
+                continue
             write_synthetic_dataset(
                 # crc32, not hash(): the latter is salted per interpreter run
                 # and would make "identical" datasets differ between calls.

@@ -87,12 +87,13 @@ def _dataset_of(splits_file: str) -> str:
     return base
 
 
-def compare_vs_table1(f1_tol: float, informational: bool) -> int:
-    """Parse BENCHMARK_TABLE.txt and diff it against the paper's Table 1."""
+def compare_vs_table1(f1_tol: float, informational: bool,
+                      table: str = "BENCHMARK_TABLE.txt") -> int:
+    """Parse the merged table and diff it against the paper's Table 1."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
     from scripts.merge_benchmark_tables import parse_table
 
-    rows = parse_table("BENCHMARK_TABLE.txt")
+    rows = parse_table(table)
     failures, compared = [], 0
     print(f"\n{'model':<20} {'ds':<6} {'avgF1':>7} {'paper':>7} {'dF1':>7} "
           f"{'corr':>7} {'paper':>7}")
@@ -160,6 +161,10 @@ def main(argv=None):
     # the merge reads by itself; the --dry-run in-process sweep only writes
     # its own table.txt, so pass the freshest one explicitly.
     merge_cmd = [py, "scripts/merge_benchmark_tables.py"]
+    if args.dry_run:
+        # Rehearsal rows (1-epoch, possibly CPU) must never displace the
+        # committed full-budget grid: merge into a scratch table instead.
+        merge_cmd += ["--out", "/tmp/reproduce_dryrun_table.txt"]
     tables = sorted(
         glob.glob("logs/*_benchmark/table.txt"), key=os.path.getmtime
     )
@@ -168,7 +173,10 @@ def main(argv=None):
     if _run(merge_cmd):
         raise SystemExit("table merge failed")
 
-    raise SystemExit(compare_vs_table1(args.f1_tol, informational=args.dry_run))
+    raise SystemExit(compare_vs_table1(
+        args.f1_tol, informational=args.dry_run,
+        table="/tmp/reproduce_dryrun_table.txt" if args.dry_run
+        else "BENCHMARK_TABLE.txt"))
 
 
 if __name__ == "__main__":
