@@ -49,9 +49,13 @@ def test_chain_order_and_flags(monkeypatch, tmp_path, capsys):
         return subprocess.CompletedProcess(cmd, 0)
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    monkeypatch.setattr(
-        reproduce, "compare_vs_table1", lambda f1_tol, informational: 0
-    )
+    compared = {}
+
+    def fake_compare(f1_tol, informational, table="BENCHMARK_TABLE.txt"):
+        compared["table"] = table
+        return 0
+
+    monkeypatch.setattr(reproduce, "compare_vs_table1", fake_compare)
     with pytest.raises(SystemExit) as e:
         reproduce.main(["--dry-run"])
     assert e.value.code == 0
@@ -66,6 +70,12 @@ def test_chain_order_and_flags(monkeypatch, tmp_path, capsys):
     ]
     assert "--synthetic" in calls[0]
     assert "-e" in calls[1] and "--in-process" in calls[1]
+    # Rehearsal rows merge into a scratch table and the comparison reads the
+    # same scratch table — a dry run must never touch BENCHMARK_TABLE.txt.
+    assert "--out" in calls[2]
+    scratch = calls[2][calls[2].index("--out") + 1]
+    assert scratch != "BENCHMARK_TABLE.txt"
+    assert compared["table"] == scratch
     # All three datasets ride the sweep even in the dry run.
     s_arg = calls[1][calls[1].index("-s") + 1]
     assert all(ds in s_arg for ds in ("summe", "tvsum", "LOL"))
@@ -77,7 +87,8 @@ def test_real_mode_gates_on_failures(monkeypatch):
         lambda cmd, **kw: subprocess.CompletedProcess(cmd, 0),
     )
     monkeypatch.setattr(
-        reproduce, "compare_vs_table1", lambda f1_tol, informational: 1
+        reproduce, "compare_vs_table1",
+        lambda f1_tol, informational, table="BENCHMARK_TABLE.txt": 1,
     )
     with pytest.raises(SystemExit) as e:
         reproduce.main(["--skip-download"])
