@@ -29,6 +29,23 @@ Architecture (TPU-first, not a port):
                   (summarizer/utils/knapsack.py:5-23).
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The deployment image's sitecustomize force-registers the TPU PJRT
+    # plugin at interpreter startup, which overrides the JAX_PLATFORMS env
+    # var (observed: ``JAX_PLATFORMS=cpu`` still yields the 'tpu' backend).
+    # Honor the env var by pinning through jax.config before the first
+    # backend initialization, so CLIs can be steered onto the host CPU while
+    # another process owns the chip (tests/conftest.py does the same; the
+    # reproduce --dry-run rehearsal depends on it).
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already up: leave it be
+        pass
+
 __version__ = "0.1.0"
 
 FEATURE_DIM = 1024  # GoogLeNet pool5 descriptor size (datasets/README.md:46)
