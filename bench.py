@@ -152,7 +152,17 @@ def bench_jax_folds(feats, targets, k=5):
     """5-fold fold-parallel training (--fold_parallel): K stacked replicas
     of the batch-1 epoch run as one vmapped program — the CV axis as a
     batch dimension (train/supervised.py:train_folds).  Reports aggregate
-    videos/s across folds: the honest wall-clock for a full CV run."""
+    videos/s across folds.
+
+    NOTE this row isolates steady-state EPOCH COMPUTE, which is the wrong
+    quantity for choosing the sweep default: a real CV run also pays
+    per-epoch dispatch, eval, and per-fold setup, which the fold-parallel
+    path amortizes across all K folds.  Post-hash-dropout the pure-compute
+    ratio here is ~0.62x sequential (the stacked program trades MXU
+    efficiency for K-way latency hiding), while the END-TO-END A/B
+    (logs/ab_foldparallel.txt, scripts/summarize_ab.py) is what
+    cli/benchmark.py MODEL_CONFIGS defaults are chosen from — see
+    BENCH_NOTES.md "Fold-parallel vs sequential"."""
     import jax
     import jax.numpy as jnp
 
@@ -193,7 +203,9 @@ def bench_jax_folds(feats, targets, k=5):
     vps = k * N_VIDEOS * EPOCHS_TIMED / dt
     mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
     log(f"jax fold-parallel k={k}: {vps:.1f} videos/s aggregate "
-        f"(MFU {mfu * 100:.1f}%, batch-1 dynamics per fold)")
+        f"(MFU {mfu * 100:.1f}%, batch-1 dynamics per fold; steady-state "
+        "epoch compute only — sweep defaults come from the end-to-end A/B, "
+        "BENCH_NOTES 'Fold-parallel vs sequential')")
     return vps, mfu
 
 
