@@ -109,6 +109,8 @@ def main():
     out_path = "BENCHMARK_TABLE.txt"
     if "--out" in sys.argv:
         i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            sys.exit("merge_benchmark_tables: missing value for --out")
         out_path = sys.argv[i + 1]
         del sys.argv[i:i + 2]
     import pandas as pd

@@ -20,17 +20,32 @@ import sys
 
 
 def parse(path):
-    walls = {}  # (model, fp) -> seconds
-    current = None
+    """(model, fp) -> (wall seconds, ok).
+
+    ``ok`` comes from the ``CHAIN_RC <n>`` line the chain writes after each
+    CHAIN_TIME (rc 0 AND 'Table saved' seen in the run log).  A crashed run
+    (e.g. a fast RESOURCE_EXHAUSTED) otherwise shows up as a SMALL wall and
+    would flip the recommended default — the advisor's round-4 finding.
+    Legacy blocks without a CHAIN_RC line parse as ok=None (unknown)."""
+    walls = {}
+    current = pending = None
     for line in open(path):
         m = re.match(r"--- (.+) fold_parallel=(\d)", line.strip())
         if m:
-            current = (m.group(1), int(m.group(2)))
+            if pending:
+                walls[pending[0]] = (pending[1], None)
+            current, pending = (m.group(1), int(m.group(2))), None
             continue
         m = re.search(r"CHAIN_TIME real ([\d.]+) s", line)
         if m and current:
-            walls[current] = float(m.group(1))
-            current = None
+            pending, current = (current, float(m.group(1))), None
+            continue
+        m = re.search(r"CHAIN_RC (\d+)", line)
+        if m and pending:
+            walls[pending[0]] = (pending[1], int(m.group(1)) == 0)
+            pending = None
+    if pending:
+        walls[pending[0]] = (pending[1], None)
     return walls
 
 
@@ -41,7 +56,16 @@ def main():
     print(f"{'family':<22} {'fp=1 (s)':>9} {'fp=0 (s)':>9} {'fp1/fp0':>8}  "
           "recommended default")
     for m in models:
-        w1, w0 = walls.get((m, 1)), walls.get((m, 0))
+        cells = []
+        for fp in (1, 0):
+            wall, ok = walls.get((m, fp), (None, None))
+            # A failed run's wall is meaningless (often small): show '?'
+            # and never use it in the ratio.
+            cells.append(None if wall is None or ok is False else wall)
+            if ok is False:
+                print(f"{m:<22} fold_parallel={fp} run FAILED "
+                      f"(wall {wall:.1f}s ignored)")
+        w1, w0 = cells
         if w1 is None or w0 is None:
             print(f"{m:<22} {'?' if w1 is None else w1:>9} "
                   f"{'?' if w0 is None else w0:>9}  (incomplete A/B)")

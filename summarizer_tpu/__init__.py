@@ -43,8 +43,18 @@ if _os.environ.get("JAX_PLATFORMS"):
         import jax as _jax
 
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:  # pragma: no cover - backend already up: leave it be
-        pass
+    except Exception as _e:  # pragma: no cover - backend already up
+        # A silent failure here reproduces the exact hazard this pin exists
+        # to prevent (a CPU-intended run landing on the TPU and contending
+        # with whatever owns the chip) — tell the operator.
+        import sys as _sys
+
+        print(
+            "summarizer_tpu: WARNING: could not honor "
+            f"JAX_PLATFORMS={_os.environ['JAX_PLATFORMS']!r} ({_e}); the "
+            "process may be on an unintended backend",
+            file=_sys.stderr,
+        )
 
 __version__ = "0.1.0"
 

@@ -4,6 +4,17 @@ from __future__ import annotations
 
 import argparse
 
+# Pinned md5-8 of the deterministic synthetic fixtures (one per generator
+# version — regenerating with an unchanged generator reproduces these bytes
+# exactly).  The skip-if-exists path verifies against this so a truncated or
+# stale h5 is regenerated instead of silently accepted; benchmark-row
+# provenance (utils/fingerprint.py) uses the same digests.
+EXPECTED_MD5 = {
+    "summe": "8a298171",
+    "tvsum": "9cda7f17",
+    "LOL": "5f8ae69d",
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("Fetch summarizer datasets")
@@ -23,6 +34,7 @@ def main(argv=None):
         import os
 
         from summarizer_tpu.data.synthetic import write_synthetic_dataset
+        from summarizer_tpu.utils.fingerprint import file_hash8
 
         import zlib
 
@@ -41,14 +53,24 @@ def main(argv=None):
         )
         for name, n, users, lo, hi, planted in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
-            # The generator is deterministic, so an existing file is already
+            # The generator is deterministic, so an existing file SHOULD be
             # the right bytes; skipping avoids rewriting a 2.6 GB h5 under a
             # concurrently-running training process (reproduce --dry-run
-            # while a sweep holds the file open).
+            # while a sweep holds the file open).  But "exists and non-empty"
+            # also matches a truncated h5 from an interrupted generation (VM
+            # recycles are a known hazard) or a stale file from an older
+            # generator, so verify against the pinned md5 before trusting it
+            # (cheap: utils.fingerprint caches digests by size+mtime).
             if os.path.exists(path) and os.path.getsize(path) > 0 \
                     and not args.force:
-                print(f"exists -> {path} (use --force to regenerate)")
-                continue
+                expected = EXPECTED_MD5.get(name)
+                actual = file_hash8(path)
+                if expected is None or actual == expected:
+                    print(f"exists -> {path} (md5 {actual}; --force to "
+                          "regenerate)")
+                    continue
+                print(f"stale/corrupt -> {path} (md5 {actual} != pinned "
+                      f"{expected}); regenerating")
             write_synthetic_dataset(
                 # crc32, not hash(): the latter is salted per interpreter run
                 # and would make "identical" datasets differ between calls.

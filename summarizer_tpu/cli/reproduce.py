@@ -161,10 +161,20 @@ def main(argv=None):
     # the merge reads by itself; the --dry-run in-process sweep only writes
     # its own table.txt, so pass the freshest one explicitly.
     merge_cmd = [py, "scripts/merge_benchmark_tables.py"]
+    scratch_table = None
     if args.dry_run:
         # Rehearsal rows (1-epoch, possibly CPU) must never displace the
         # committed full-budget grid: merge into a scratch table instead.
-        merge_cmd += ["--out", "/tmp/reproduce_dryrun_table.txt"]
+        # mkstemp under logs/ (not a fixed world-shared /tmp path): two
+        # concurrent dry runs must not race each other's table, and a
+        # pre-created/symlinked path must not be followed.
+        import tempfile
+
+        os.makedirs("logs", exist_ok=True)
+        fd, scratch_table = tempfile.mkstemp(
+            prefix="reproduce_dryrun_table_", suffix=".txt", dir="logs")
+        os.close(fd)
+        merge_cmd += ["--out", scratch_table]
     tables = sorted(
         glob.glob("logs/*_benchmark/table.txt"), key=os.path.getmtime
     )
@@ -175,8 +185,7 @@ def main(argv=None):
 
     raise SystemExit(compare_vs_table1(
         args.f1_tol, informational=args.dry_run,
-        table="/tmp/reproduce_dryrun_table.txt" if args.dry_run
-        else "BENCHMARK_TABLE.txt"))
+        table=scratch_table if args.dry_run else "BENCHMARK_TABLE.txt"))
 
 
 if __name__ == "__main__":
