@@ -9,8 +9,9 @@ since-regenerated fixture shipped unmarked in round 3):
 
 - every fresh row carries ``<dataset>@<md5-8> e<epochs> <date>`` produced by
   ``summarizer_tpu.utils.fingerprint``; the merge re-hashes the committed
-  fixtures and REFUSES any row whose recorded hash mismatches (printed, not
-  silently dropped);
+  fixtures and marks any row whose recorded hash mismatches ``SUPERSEDED``
+  (printed; kept for audit history, but replaced by any row measured on the
+  current fixture);
 - legacy 7-column rows (no fingerprint) are kept only if no fingerprinted row
   exists for that (model, file) and are marked ``pre-r4 (unverified)``;
 - log-parsed walls divide the train() total by the number of files actually
@@ -119,24 +120,30 @@ def main():
     from summarizer_tpu.cli.benchmark import _provenance
 
     hashes = current_hashes()
-    rows, seen, rejected = [], {}, []
+    rows, seen, superseded = [], {}, []
 
     def add(r):
         r = list(r) + [LEGACY_TAG] * (8 - len(r))
         ok = fixture_ok(r[7], hashes)
-        if ok is False:
-            rejected.append(r)
-            return
+        # Three provenance ranks: 2 = fingerprint matches the committed
+        # fixture; 1 = fingerprint names a SUPERSEDED fixture (the h5 was
+        # regenerated since the row was measured — keep the row, visibly
+        # marked, until a re-measured row replaces it: dropping it would
+        # erase audit history, VERDICT r4 item 3 note); 0 = no fingerprint.
+        rank = 2 if ok else (0 if ok is None else 1)
+        if ok is False and "SUPERSEDED" not in r[7]:
+            r[7] = f"{r[7]} SUPERSEDED"
+            superseded.append(r)
         key = (r[0], r[1])
         if key not in seen:
             rows.append(r)
-            seen[key] = ok
-        elif seen[key] is None and ok:
-            # A fingerprinted row beats a legacy duplicate even if the
-            # legacy one came from a fresher-ranked source.
+            seen[key] = rank
+        elif rank > seen[key]:
+            # A better-provenanced row beats a weaker duplicate even if the
+            # weaker one came from a fresher-ranked source.
             rows[[i for i, x in enumerate(rows)
                   if (x[0], x[1]) == key][0]] = r
-            seen[key] = True
+            seen[key] = rank
 
     # Durable per-row log (survives wrapper crashes); later lines are
     # fresher, so take them newest-first.
@@ -154,9 +161,9 @@ def main():
         for r in parse_table("BENCHMARK_TABLE.txt"):
             add(r)
 
-    for r in rejected:
-        print(f"REJECTED (fixture hash mismatch vs committed h5): "
-              f"{r[0]} / {r[1]} [{r[7]}]")
+    for r in superseded:
+        print(f"SUPERSEDED (fixture regenerated since this row was measured;"
+              f" re-sweep to refresh): {r[0]} / {r[1]} [{r[7]}]")
 
     order = ["Random", "Logistic Regression", "VASNet", "VASNet_loc",
              "Transformer", "Transformer-MoE", "vsLSTM", "DSN", "DSN_sup",
@@ -174,7 +181,8 @@ def main():
               "column 6 is wall seconds per splits file).\n"
               "Fixture column: <dataset>@<md5-8 of the h5 the row was "
               "measured on> e<epochs> <date>; rows whose hash mismatches "
-              "the committed fixture are refused at merge time.")
+              "the committed fixture are marked SUPERSEDED at merge time "
+              "and replaced by any re-measured row.")
     out = header + "\n" + tabulate(table, headers="keys", tablefmt="psql",
                                    showindex=False)
     with open(out_path, "w") as f:
