@@ -136,13 +136,21 @@ def bench_jax_batched(feats, targets, batch=32):
 
     params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
     float(loss)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        params, opt_state, loss = epoch_fn(params, opt_state, fx, tx, mx, perm, rng)
-    float(loss)  # single end-of-chain sync (see bench_jax)
-    dt = time.perf_counter() - t0
-    vps = N_VIDEOS * reps / dt
+    # Same measurement protocol as the batch-1 headline (median of TRIALS
+    # windows of EPOCHS_TIMED epochs): round 4 timed batch-32 with a single
+    # 10-rep window (~0.055 s) against the documented ~±20% tunnel jitter on
+    # sub-0.1 s windows, which is enough to manufacture the reported
+    # batch-32 < batch-1 "inversion" on its own (VERDICT r4 weak #4a).
+    dts = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(EPOCHS_TIMED):
+            params, opt_state, loss = epoch_fn(
+                params, opt_state, fx, tx, mx, perm, rng)
+        float(loss)  # single end-of-chain sync (see bench_jax)
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[len(dts) // 2]
+    vps = N_VIDEOS * EPOCHS_TIMED / dt
     mfu = vps * vasnet_train_flops(T_STEPS) / PEAK_FLOPS
     log(f"jax batch={batch}: {vps:.1f} videos/s (MFU {mfu * 100:.1f}%)")
     return vps, mfu
