@@ -47,7 +47,9 @@ def gen_videos(profile: dict, n_videos: int, n_users: int, steps, seed=0):
     vids = []
     for _ in range(n_videos):
         n_steps = int(rng.randint(steps[0], steps[1] + 1))
-        vids.append(synth_video_v2(rng, n_steps, 1024, n_users, gw, profile))
+        v = synth_video_v2(rng, n_steps, 1024, n_users, gw, profile)
+        v["_global_w"] = gw
+        vids.append(v)
     return vids
 
 
@@ -79,6 +81,26 @@ def measure(vids, rng_seed=0):
             float(np.mean(r_corr)), h_corr, h_avg, h_max)
 
 
+def oracle_corrs(vids):
+    """Two upper bounds for the corr column on this fixture:
+
+    - ``full``: machine scores = the true shared segment importance
+      (includes the feature-INvisible component) — no scorer can beat this;
+    - ``planted``: machine scores = the feature-visible planted projection
+      only — the ceiling for models that learn features -> importance,
+      i.e. where trained families should land (Table 1 TVSum ~0.23,
+      SumMe ~0.11)."""
+    full, planted = [], []
+    for v in vids:
+        fs_full = eval_np.generate_scores(
+            v["gtscore"], v["n_frames"], v["picks"])
+        full.append(eval_np.evaluate_scores(fs_full, v["user_scores"]))
+        z = v["features"] @ v["_global_w"]
+        fs_pl = eval_np.generate_scores(z, v["n_frames"], v["picks"])
+        planted.append(eval_np.evaluate_scores(fs_pl, v["user_scores"]))
+    return float(np.mean(full)), float(np.mean(planted))
+
+
 def report(name, prof, n_videos):
     t = TARGETS[name]
     vids = gen_videos(prof, n_videos, t["users"], t["steps"])
@@ -91,6 +113,10 @@ def report(name, prof, n_videos):
           f"Human {ha:.3f}/{hm:.3f} corr {hc:.3f} "
           f"(target {t['h_avg']:.3f}/{t['h_max']:.3f} corr {t['h_corr']:.3f})"
           f"  L1err {err:.3f}")
+    oc_full, oc_planted = oracle_corrs(vids)
+    print(f"{name}: oracle corr full {oc_full:.3f} / planted-only "
+          f"{oc_planted:.3f} (trained families should land at or below the "
+          "planted ceiling)")
     return err
 
 

@@ -10,8 +10,11 @@ import argparse
 # stale h5 is regenerated instead of silently accepted; benchmark-row
 # provenance (utils/fingerprint.py) uses the same digests.
 EXPECTED_MD5 = {
-    "summe": "8a298171",
-    "tvsum": "9cda7f17",
+    # v2 calibrated annotator profiles (round 5); the superseded legacy
+    # hashes were summe@8a298171 / tvsum@9cda7f17 (rows measured on them are
+    # marked SUPERSEDED by scripts/merge_benchmark_tables.py).
+    "summe": "6457596c",
+    "tvsum": "5d51986a",
     "LOL": "5f8ae69d",
 }
 
@@ -46,12 +49,16 @@ def main(argv=None):
         # so its benchmark column regresses quality, not just scale; the
         # summe/tvsum fixtures stay on the legacy generator so their pinned
         # parity/benchmark numbers remain reproducible.
+        # summe/tvsum use the Table-1-calibrated v2 annotator profiles
+        # (data/synthetic.py::PROFILES — Random/Human anchor parity, VERDICT
+        # r4 item 3); LOL keeps the round-3 planted-signal generator whose
+        # hash (5f8ae69d) the committed LOL benchmark column is pinned to.
         configs = (
-            ("summe", 25, 15, 100, 650, 0.0),
-            ("tvsum", args.videos, 20, 100, 650, 0.0),
-            ("LOL", 318, 1, 800, 3200, 0.3),
+            ("summe", 25, 15, 100, 650, 0.0, "summe_v2"),
+            ("tvsum", args.videos, 20, 100, 650, 0.0, "tvsum_v2"),
+            ("LOL", 318, 1, 800, 3200, 0.3, None),
         )
-        for name, n, users, lo, hi, planted in configs:
+        for name, n, users, lo, hi, planted, profile in configs:
             path = os.path.join(args.dest, f"summarizer_dataset_{name}_google_pool5.h5")
             # The generator is deterministic, so an existing file SHOULD be
             # the right bytes; skipping avoids rewriting a 2.6 GB h5 under a
@@ -76,7 +83,7 @@ def main(argv=None):
                 # and would make "identical" datasets differ between calls.
                 path, n_videos=n, seed=zlib.crc32(name.encode()) % 2**31,
                 n_users=users, min_steps=lo, max_steps=hi, name=name,
-                planted_signal=planted,
+                planted_signal=planted, profile=profile,
             )
             print(f"synthetic -> {path}")
         return
