@@ -54,9 +54,23 @@ def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
     apply_fn = engine.spec.module.apply
     hp = engine.hp
 
-    @jax.jit
-    def forward(params, feats, mask, rng):
-        return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
+    # Reuse the eval pass's already-compiled test-mode forward when the
+    # sequential device-eval path built one (engine._eval_forward, shape
+    # (g, t_max)): predicting in chunks of the SAME g makes prediction a
+    # pure cache hit — no new executable to compile or upload through the
+    # tunnel per config (round-4 north-star breakdown charged ~74 s to the
+    # predict phase; the Transformer alone paid 41 s on tvsum).
+    shared_fwd = getattr(engine, "_eval_forward", None)
+    if shared_fwd is not None:
+        chunk = int(engine.eval_dims[1])
+
+        def forward(params, feats, mask, rng):
+            return shared_fwd(params, rng, feats, mask)
+    else:
+
+        @jax.jit
+        def forward(params, feats, mask, rng):
+            return apply_fn(params, feats, mask, rng=rng, train=False, hp=hp)
 
     os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
     # One padded shape for every chunk -> one compiled forward program.
@@ -70,15 +84,16 @@ def predict_dataset(engine: Engine, params, pred_path: str, chunk: int = 16):
         # instead of re-sending every video through the tunnel.
         shared = getattr(engine, "_stacked_pack", None)
         slot = getattr(engine, "_slot", {})
+        # One jit instance hoisted out of the loop: a fresh lambda per chunk
+        # would miss jax's by-identity trace cache and re-trace every chunk.
+        gather_chunk = jax.jit(lambda a, i: a[i, :s])
         for lo in range(0, len(keys), chunk):
             batch_keys = keys[lo : lo + chunk]
             records = dataset.subset(batch_keys)
             if shared is not None and all(k in slot for k in batch_keys):
                 idx = np.full(chunk, slot[batch_keys[0]], np.int32)
                 idx[: len(batch_keys)] = [slot[k] for k in batch_keys]
-                feats = jax.jit(lambda a, i: a[i, :s])(
-                    shared[0], jnp.asarray(idx)
-                )
+                feats = gather_chunk(shared[0], jnp.asarray(idx))
             else:
                 feats = np.zeros((chunk, s, d), np.float32)
                 for i, r in enumerate(records):
