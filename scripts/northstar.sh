@@ -32,7 +32,10 @@ rec = {
 }
 with open("logs/northstar.json", "w") as f:
     json.dump(rec, f, indent=1)
-print("WROTE logs/northstar.json:", rec["northstar_total_s"], "s")
+with open("NORTHSTAR.json", "w") as f:  # the committed root artifact
+    json.dump(rec, f, indent=1)
+print("WROTE logs/northstar.json + NORTHSTAR.json:",
+      rec["northstar_total_s"], "s")
 EOF
 
 # In-process runs skip the wrapper's durable row log; append this run's
