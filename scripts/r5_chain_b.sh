@@ -43,12 +43,6 @@ echo "=== [B2] north-star timed warm run ($(date -u +%H:%M:%S))"
 bash scripts/northstar.sh 2>&1 | tee /tmp/r5b_northstar.txt
 merge_and_commit "north-star warm walls"
 
-echo "=== [B3] vsLSTM + Transformer-MoE re-sweep ($(date -u +%H:%M:%S))"
-{ time python -m summarizer_tpu.cli.benchmark --models vslstm,transformer_moe \
-    -s splits/summe_splits.json,splits/tvsum_splits.json \
-    > /tmp/r5b_b3.log 2>&1 ; } 2>&1
-merge_and_commit "vsLSTM + Transformer-MoE rows on v2 fixtures"
-
 echo "=== [B4] GAN sweep: fold-parallel probe then timed full budget ($(date -u +%H:%M:%S))"
 PROBE_LOG=/tmp/r5b_probe.log
 FP_ARGS=()
@@ -75,6 +69,12 @@ done
     > /tmp/r5b_gan.log 2>&1 ; } 2>&1 | tee /tmp/r5b_gan_total.txt
 cp /tmp/r5b_gan_total.txt logs/gan_total.txt
 merge_and_commit "GAN rows (full budget, timed) on v2 fixtures"
+
+echo "=== [B3] vsLSTM + Transformer-MoE re-sweep ($(date -u +%H:%M:%S))"
+{ time python -m summarizer_tpu.cli.benchmark --models vslstm,transformer_moe \
+    -s splits/summe_splits.json,splits/tvsum_splits.json \
+    > /tmp/r5b_b3.log 2>&1 ; } 2>&1
+merge_and_commit "vsLSTM + Transformer-MoE rows on v2 fixtures"
 
 echo "=== [B5] fold-parallel vs sequential A/B ($(date -u +%H:%M:%S))"
 AB=logs/ab_foldparallel.txt
