@@ -97,7 +97,10 @@ for m in "Logistic Regression" VASNet VASNet_loc vsLSTM DSN DSN_sup; do
   done
 done
 python scripts/summarize_ab.py "$AB" | tee logs/ab_foldparallel_summary.txt
-git add "$AB" logs/ab_foldparallel_summary.txt logs/gan_total.txt \
-    logs/northstar.json NORTHSTAR.json 2>/dev/null
+# logs/ is gitignored: -f the small round artifacts so they survive a VM
+# recycle (round 4 lost logs/northstar.json this way).
+git add -f "$AB" logs/ab_foldparallel_summary.txt logs/gan_total.txt \
+    logs/northstar.json 2>/dev/null
+git add NORTHSTAR.json 2>/dev/null
 git commit -q -m "round 5: A/B + GAN sweep total + north-star artifacts" || true
 echo "CHAIN R5B DONE ($(date -u +%H:%M:%S))"
