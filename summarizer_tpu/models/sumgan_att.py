@@ -43,11 +43,27 @@ def selector_init(rng, d, n_layers):
     }
 
 
-def selector_apply(p, x, mask, heads, rng, train, eps=1e-5):
+def _auto_flash(x, heads, hp):
+    """Same blockwise-attention policy as models/transformer.py: engage the
+    Pallas flash kernel when head lanes align and T >= 1024 (or the hp
+    forces it).  Round 5: the dense f32 [B, H, T, T] backward temps of this
+    model's three attention stacks are 864 MB EACH at the LOL (B=6, T=3072)
+    bucket — the deterministic RESOURCE_EXHAUSTED that livelocked the
+    SumGAN-att x LOL sweep."""
+    d = x.shape[-1]
+    flash = (hp or {}).get("flash", "auto")
+    lane_ok = d % heads == 0 and (d // heads) % 128 == 0
+    return lane_ok and (
+        x.shape[1] >= 1024 if flash == "auto" else bool(int(flash))
+    )
+
+
+def selector_apply(p, x, mask, heads, rng, train, eps=1e-5, flash=False):
     keys = jax.random.split(rng, len(p["layers"]))
     h = x
     for i, layer in enumerate(p["layers"]):
-        h = encoder_layer_apply(layer, h, heads, mask, rng=keys[i], train=train, eps=eps)
+        h = encoder_layer_apply(layer, h, heads, mask, rng=keys[i], train=train, eps=eps,
+                                flash=flash)
     h = layer_norm(p["norm"], h, eps)
     return jax.nn.sigmoid(linear(p["out"], h))[..., 0]
 
@@ -60,15 +76,17 @@ def ae_init(rng, d, n_layers):
     }
 
 
-def ae_apply(p, x, mask, heads, rng, train, eps=1e-5):
+def ae_apply(p, x, mask, heads, rng, train, eps=1e-5, flash=False):
     keys = jax.random.split(rng, len(p["enc"]) + len(p["dec"]))
     mem = x
     for i, layer in enumerate(p["enc"]):
-        mem = encoder_layer_apply(layer, mem, heads, mask, rng=keys[i], train=train, eps=eps)
+        mem = encoder_layer_apply(layer, mem, heads, mask, rng=keys[i], train=train, eps=eps,
+                                  flash=flash)
     h = x  # decoder target is the raw input (sumgan_att.py:79)
     for i, layer in enumerate(p["dec"]):
         h = decoder_layer_apply(
-            layer, h, mem, heads, mask, mask, rng=keys[len(p["enc"]) + i], train=train, eps=eps
+            layer, h, mem, heads, mask, mask, rng=keys[len(p["enc"]) + i], train=train, eps=eps,
+            flash=flash
         )
     return h
 
@@ -87,15 +105,18 @@ def init(rng, hp: dict):
 def summarizer_forward(params, x, mask, rng, hp: dict, uniform: bool = False, train: bool = True):
     hp = {**DEFAULTS, **hp}
     k1, k2, k3 = jax.random.split(rng, 3)
+    use_flash = _auto_flash(x, int(hp["s_attention_heads"]), hp)
     if uniform:
         scores = jax.random.uniform(k1, x.shape[:2])
     else:
         scores = selector_apply(
-            params["selector"], x, mask, int(hp["s_attention_heads"]), k2, train, float(hp["epsilon"])
+            params["selector"], x, mask, int(hp["s_attention_heads"]), k2, train, float(hp["epsilon"]),
+            flash=use_flash,
         )
     x_weighted = x * (scores * mask)[..., None]
     x_hat = ae_apply(
-        params["ae"], x_weighted, mask, int(hp["ae_attention_heads"]), k3, train, float(hp["epsilon"])
+        params["ae"], x_weighted, mask, int(hp["ae_attention_heads"]), k3, train, float(hp["epsilon"]),
+        flash=_auto_flash(x, int(hp["ae_attention_heads"]), hp),
     )
     return x_hat, scores
 
@@ -112,5 +133,6 @@ def apply(params, x, mask, *, rng=None, train=False, hp: dict | None = None):
     if mask is None:
         mask = jnp.ones(x.shape[:2], jnp.float32)
     return selector_apply(
-        params["selector"], x, mask, int(hp["s_attention_heads"]), rng, train, float(hp["epsilon"])
+        params["selector"], x, mask, int(hp["s_attention_heads"]), rng, train, float(hp["epsilon"]),
+        flash=_auto_flash(x, int(hp["s_attention_heads"]), hp),
     )

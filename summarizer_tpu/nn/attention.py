@@ -196,18 +196,24 @@ def decoder_layer_apply(
     train: bool = False,
     rate: float = 0.1,
     eps: float = 1e-5,
+    flash: bool = False,
 ):
     """Post-norm decoder block: self-attn, cross-attn, FFN (torch order).
-    The reference uses no causal mask (sumgan_att.py:74-80)."""
+    The reference uses no causal mask (sumgan_att.py:74-80), so ``flash``
+    routes BOTH attentions through the blockwise kernel — cross-attention
+    qualifies because tgt and memory share (B, T, D) here and the kernel
+    never assumes q is k."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k = jax.random.split(rng, 6)
     a = mha_apply(
-        p["self_attn"], tgt, tgt, tgt, n_heads, tgt_mask, rng=k[0], train=train, attn_dropout=rate
+        p["self_attn"], tgt, tgt, tgt, n_heads, tgt_mask, rng=k[0], train=train,
+        attn_dropout=rate, flash=flash,
     )
     x = layer_norm(p["norm1"], tgt + dropout(k[1], a, rate, train))
     c = mha_apply(
-        p["cross_attn"], x, memory, memory, n_heads, mem_mask, rng=k[2], train=train, attn_dropout=rate
+        p["cross_attn"], x, memory, memory, n_heads, mem_mask, rng=k[2], train=train,
+        attn_dropout=rate, flash=flash,
     )
     x = layer_norm(p["norm2"], x + dropout(k[3], c, rate, train))
     f = linear(p["lin2"], dropout(k[4], jax.nn.relu(linear(p["lin1"], x)), rate, train))
