@@ -43,13 +43,19 @@ MODEL_CONFIGS = [
     # stacked-state resume keeps the sweep's retry-as-resume behavior.
     ("Random", {"model": "random", "epochs": 1, "fold_parallel": 1,
                 "extra_params": {}}),
+    # Round-5 per-family fold-parallel defaults from the warm end-to-end
+    # A/B with CHAIN_RC success markers (logs/ab_foldparallel_summary.txt):
+    # Logistic 1.99x, DSN 1.78x, VASNet_loc 1.72x SLOWER fold-parallel at
+    # sweep budgets (their fused whole-CV programs out-cost the per-fold
+    # dispatch they save), while DSN_sup 0.44x, VASNet 0.65x, vsLSTM 0.94x
+    # win fold-parallel — so the default is per-family, not global.
     ("Logistic Regression", {"model": "logistic", "epochs": 30,
-                             "fold_parallel": 1, "extra_params": {}}),
+                             "fold_parallel": 0, "extra_params": {}}),
     ("VASNet", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
                 "extra_params": {}}),
     # 30 s aperture at 2 feature-fps (the paper's best long-video config,
     # Summarizer.pdf §4.2) == 60 steps.
-    ("VASNet_loc", {"model": "vasnet", "epochs": 30, "fold_parallel": 1,
+    ("VASNet_loc", {"model": "vasnet", "epochs": 30, "fold_parallel": 0,
                     "extra_params": {"local": 60}}),
     # Transformers stay fold-sequential (the stacked 6L encoder is HBM-bound
     # per step; clean A/B: 349 s fold-parallel vs 265 s sequential per
@@ -65,7 +71,7 @@ MODEL_CONFIGS = [
                          "extra_params": {}}),
     ("vsLSTM", {"model": "vslstm", "epochs": 30, "fold_parallel": 1,
                 "extra_params": {}}),
-    ("DSN", {"model": "dsn", "epochs": 20, "fold_parallel": 1,
+    ("DSN", {"model": "dsn", "epochs": 20, "fold_parallel": 0,
              "extra_params": {}}),
     ("DSN_sup", {"model": "dsn", "epochs": 20, "fold_parallel": 1,
                  "extra_params": {"sup": 1}}),
